@@ -1,0 +1,180 @@
+"""Coarse-to-fine (multi-resolution) Adam optimization on optax.
+
+TPU-native twin of /root/reference/core/optimizer.py: an outer loop over a
+resolution ladder (e.g. 3 -> 5 -> 9 -> 17 -> 33 -> 65 -> 129) with, per stage:
+
+* ``iterations * (stage + 1)`` Adam steps,
+* boundary-voxel gradient freezing (optimizer.py:53-64),
+* projection ``n = max(n, clamp_min)`` after each step (optimizer.py:68),
+* per-stage checkpointing of (field, optimizer state, loss history, rng key),
+
+and between stages the reference's signature mechanism: **optimizer-state
+upsampling** — Adam's first/second moments are trilinearly resampled onto the
+finer grid and the learning rate is decayed x0.5 per stage
+(optimizer.py:13-41, :82), so the fine stages inherit the coarse stages'
+adaptive scaling.
+
+The inner step is a single jitted function: value_and_grad of the user loss
+(whose tracer calls carry their custom_vjp adjoints), masked gradient, Adam
+update, projection.  Fresh randomness flows through an explicit PRNG key
+handed to the loss each iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..fields.grid import upres_volume
+
+
+def boundary_interior_mask(shape) -> jax.Array:
+    """1.0 on interior voxels, 0.0 on the boundary shell (optimizer.py:53-54)."""
+    mask = np.zeros(shape, dtype=np.float32)
+    inner = tuple(slice(1, -1) for _ in shape)
+    mask[inner] = 1.0
+    return jnp.asarray(mask)
+
+
+def upres_scene(n: jax.Array, res: int) -> jax.Array:
+    """Resample the field to ``res`` per axis in f64 (optimizer.py:7-10)."""
+    target = tuple(res for _ in n.shape)
+    return upres_volume(n.astype(jnp.float64), target).astype(n.dtype)
+
+
+def upres_adam_state(state: optax.ScaleByAdamState, res: int) -> optax.ScaleByAdamState:
+    """Trilinearly upsample Adam's exp_avg / exp_avg_sq moments and keep the
+    step count (optimizer.py:13-41)."""
+    return optax.ScaleByAdamState(
+        count=state.count,
+        mu=upres_scene(state.mu, res),
+        nu=upres_scene(state.nu, res),
+    )
+
+
+@dataclasses.dataclass
+class MultiresResult:
+    n: jax.Array
+    loss_hist: List[float]
+
+
+def _find_adam_state(opt_state):
+    for i, s in enumerate(opt_state):
+        if isinstance(s, optax.ScaleByAdamState):
+            return i, s
+    raise ValueError("no ScaleByAdamState in optimizer state")
+
+
+def multires_opt(
+    loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    eta: jax.Array,
+    iterations: int,
+    res_list: Sequence[int],
+    log_fn: Optional[Callable[[int, jax.Array], None]] = None,
+    lr: float = 1e-3,
+    statename: Optional[str] = None,
+    key: Optional[jax.Array] = None,
+    clamp_min: Optional[float] = 1.0,
+    freeze_boundary: bool = True,
+    lr_decay: float = 0.5,
+    save_fn: Optional[Callable] = None,
+) -> Tuple[jax.Array, List[float]]:
+    """Run the multi-resolution Adam loop (optimizer.py:44-84).
+
+    ``loss_fn(n, key) -> scalar`` is evaluated with a fresh PRNG key per
+    iteration.  Returns (final_field, loss_history).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    n = jnp.asarray(eta)
+    loss_hist: List[float] = []
+    iteration_count = 0
+    stage_lr = lr
+
+    opt = optax.adam(stage_lr)
+    opt_state = opt.init(n)
+
+    for res_iter in range(len(res_list)):
+        mask = boundary_interior_mask(n.shape) if freeze_boundary else None
+
+        @jax.jit
+        def step(n, opt_state, key):
+            loss, g = jax.value_and_grad(loss_fn)(n, key)
+            if mask is not None:
+                g = g * mask.astype(g.dtype)
+            updates, opt_state = opt.update(g, opt_state, n)
+            n = optax.apply_updates(n, updates)
+            if clamp_min is not None:
+                n = jnp.maximum(n, clamp_min)
+            return n, opt_state, loss
+
+        for _ in range(iterations * (res_iter + 1)):
+            key, sub = jax.random.split(key)
+            if log_fn is not None:
+                log_fn(iteration_count, n)
+            n, opt_state, loss = step(n, opt_state, sub)
+            loss_hist.append(float(loss))
+            iteration_count += 1
+
+        if statename is not None:
+            save_checkpoint(statename, n, opt_state, loss_hist, key)
+        if save_fn is not None:
+            save_fn(res_iter, n, opt_state, loss_hist)
+
+        if res_iter < len(res_list) - 1:
+            new_res = res_list[res_iter + 1]
+            n = upres_scene(n, new_res)
+            stage_lr = (lr_decay ** res_iter) * lr  # optimizer.py:82
+            opt = optax.adam(stage_lr)
+            fresh = opt.init(n)
+            # graft the upsampled moments onto the fresh state
+            i_old, adam_old = _find_adam_state(opt_state)
+            i_new, _ = _find_adam_state(fresh)
+            upped = upres_adam_state(adam_old, new_res)
+            fresh = tuple(
+                upped if i == i_new else s for i, s in enumerate(fresh))
+            opt_state = fresh
+
+    return n, loss_hist
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume (the reference saves but never loads; we support both)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, n, opt_state, loss_hist, key):
+    """Persist (field, Adam moments, loss history, rng key) to ``path``.npz."""
+    _, adam = _find_adam_state(opt_state)
+    np.savez(
+        path,
+        rif=np.asarray(n),
+        adam_count=np.asarray(adam.count),
+        adam_mu=np.asarray(adam.mu),
+        adam_nu=np.asarray(adam.nu),
+        loss_hist=np.asarray(loss_hist, dtype=np.float64),
+        key=np.asarray(key),
+    )
+
+
+def load_checkpoint(path: str, lr: float):
+    """Restore (field, optimizer+state, loss history, key) from ``path``.npz."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    z = np.load(path)
+    n = jnp.asarray(z["rif"])
+    opt = optax.adam(lr)
+    opt_state = opt.init(n)
+    i, _ = _find_adam_state(opt_state)
+    adam = optax.ScaleByAdamState(
+        count=jnp.asarray(z["adam_count"]),
+        mu=jnp.asarray(z["adam_mu"]),
+        nu=jnp.asarray(z["adam_nu"]),
+    )
+    opt_state = tuple(adam if j == i else s for j, s in enumerate(opt_state))
+    return n, opt, opt_state, list(z["loss_hist"]), jnp.asarray(z["key"])

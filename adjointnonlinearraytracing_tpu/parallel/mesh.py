@@ -1,0 +1,168 @@
+"""Multi-device ray parallelism: mesh construction + sharded trace/adjoint.
+
+The reference is single-GPU (SURVEY.md §2.3); here ray-batch data parallelism
+is first-class and TPU-native: rays are sharded over a 1D device mesh
+(axis "rays"), the index grid ``n`` is replicated, the forward/backward
+steppers run per-shard inside `shard_map` (so the all-escaped early exit is a
+cheap *per-shard* reduction, no cross-device sync in the hot loop), and the
+voxel-gradient partials are all-reduced with a single `psum` over ICI at the
+end of the adjoint sweep.
+
+Multi-host: call `jax.distributed.initialize()` before building the mesh and
+these functions work unchanged — rays shard across all global devices, the
+psum rides ICI within a slice and DCN across hosts.
+
+TP/PP/EP do not apply to this workload (no matmul weights to shard — SURVEY.md
+§2.3); the scaling dimension is the ray batch, exactly like the enoki
+SIMT batch but across chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fields.grid import GridField
+from ..tracer import eikonal as E
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_ray_mesh(devices=None) -> Mesh:
+    """1D mesh over all (or the given) devices with axis name 'rays'."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), ("rays",))
+
+
+def pad_rays(x: jax.Array, n_shards: int, axis: int = 0):
+    """Pad the ray axis to a multiple of ``n_shards``; returns (padded, mask).
+
+    Rejection-sampled / ragged sources produce masked batches already; this
+    adds the SPMD padding on top (inactive padding rays are handled by the
+    steppers' masks and must be excluded from losses via the returned mask).
+    """
+    n = x.shape[axis]
+    rem = (-n) % n_shards
+    mask = jnp.arange(n + rem) < n
+    if rem == 0:
+        return x, mask
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad), mask
+
+
+def shard_rays(mesh: Mesh, *arrays):
+    """Device_put ray arrays with P('rays', ...) sharding."""
+    out = []
+    for a in arrays:
+        spec = P("rays", *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, a: jax.Array):
+    return jax.device_put(a, NamedSharding(mesh, P()))
+
+
+def make_sharded_trace(mesh: Mesh, h: float, ds: float, res_max: int):
+    """Build a drop-in differentiable ``trace(rif, x, v)`` sharded over rays.
+
+    Forward: per-shard eikonal stepping (replicated rif).  Backward: per-shard
+    constant-memory adjoint producing a voxel-gradient partial, all-reduced
+    with `lax.psum` over the 'rays' axis (SURVEY.md §2.3 north star).
+    """
+    steps_f = E.max_steps_fwd(res_max, h, ds)
+    steps_b = E.max_steps_bwd(res_max, h, ds)
+
+    ray_spec = P("rays", None)
+
+    def _fwd_local(rif, x, v):
+        return E.trace(GridField(rif, h), x, v, ds, steps_f)
+
+    fwd_sharded = shard_map(
+        _fwd_local, mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec),
+    )
+
+    def _bwd_local(rif, xt, vt, dxt, dvt):
+        g = E.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b)
+        return jax.lax.psum(g, "rays")
+
+    bwd_sharded = shard_map(
+        _bwd_local, mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec, ray_spec, ray_spec),
+        out_specs=P(),
+    )
+
+    @jax.custom_vjp
+    def traced(rif, x, v):
+        return fwd_sharded(rif, x, v)
+
+    def traced_fwd(rif, x, v):
+        out = fwd_sharded(rif, x, v)
+        return out, (rif, out[0], out[1])
+
+    def traced_bwd(res, cts):
+        rif, xt, vt = res
+        dxt, dvt = cts
+        g = bwd_sharded(rif, xt, vt, dxt, dvt)
+        return g.reshape(rif.shape), jnp.zeros_like(xt), jnp.zeros_like(vt)
+
+    traced.defvjp(traced_fwd, traced_bwd)
+    return traced
+
+
+def make_sharded_trace_plane(mesh: Mesh, h: float, ds: float, res_max: int):
+    """Sharded differentiable ``trace_plane(rif, x, v, pln_o, pln_d)``."""
+    steps_f = E.max_steps_fwd(res_max, h, ds)
+    steps_b = E.max_steps_bwd(res_max, h, ds)
+    ray_spec = P("rays", None)
+
+    def _fwd_local(rif, x, v, po, pd):
+        return E.trace_plane(GridField(rif, h), x, v, po, pd, ds, steps_f)
+
+    fwd_sharded = shard_map(
+        _fwd_local, mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec, ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec, P("rays")),
+    )
+
+    def _bwd_local(rif, xt, vt, dxt, dvt):
+        g = E.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b)
+        return jax.lax.psum(g, "rays")
+
+    bwd_sharded = shard_map(
+        _bwd_local, mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec, ray_spec, ray_spec),
+        out_specs=P(),
+    )
+
+    @jax.custom_vjp
+    def traced(rif, x, v, po, pd):
+        return fwd_sharded(rif, x, v, po, pd)
+
+    def traced_fwd(rif, x, v, po, pd):
+        out = fwd_sharded(rif, x, v, po, pd)
+        xt, vt, miss = out
+        return out, (rif, xt, vt, miss)
+
+    def traced_bwd(res, cts):
+        rif, xt, vt, miss = res
+        dxt, dvt, _ = cts
+        dxt = jnp.where(miss[:, None], 0.0, dxt)
+        g = bwd_sharded(rif, xt, vt, dxt, dvt)
+        z = jnp.zeros_like(xt)
+        return g.reshape(rif.shape), z, z, z, z
+
+    traced.defvjp(traced_fwd, traced_bwd)
+    return traced

@@ -1,0 +1,22 @@
+from .api import (
+    trace,
+    trace_plane,
+    trace_target,
+    trace_sdf,
+    trace_cable,
+    trace_ad,
+)
+from .eikonal import (
+    max_steps_fwd,
+    max_steps_bwd,
+    backtrace,
+    backtrace_sdf,
+    backtrace_cable,
+    trace_scan,
+)
+
+__all__ = [
+    "trace", "trace_plane", "trace_target", "trace_sdf", "trace_cable",
+    "trace_ad", "max_steps_fwd", "max_steps_bwd", "backtrace",
+    "backtrace_sdf", "backtrace_cable", "trace_scan",
+]

@@ -1,0 +1,206 @@
+"""Differentiable tracing API: custom_vjp wrappers over the adjoint sweeps.
+
+This is the analog of the reference's torch.autograd bridge
+(/root/reference/core/tracer.py): each `Back*TracerC` class becomes one
+`jax.custom_vjp` function whose backward pass is the constant-memory adjoint
+re-integration, and each `AD*TracerC` (enoki-tape) class becomes the same
+forward differentiated straight through a `lax.scan` (`*_ad` functions) for
+cross-validation.
+
+Gradient contract (matches core/tracer.py:318-335 etc.): only the field data
+receives a gradient; ray inputs, planes/targets, and step sizes get zero
+cotangents.  `h` and `ds` are static Python floats (non-differentiable, like
+the reference).  `trace_plane`'s backward zeroes the position cotangent of
+rays that missed the plane (core/tracer.py:366-371).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.grid import GridField
+from ..fields.cylinder import CylinderField
+from . import eikonal as E
+
+
+def _grid(rif, h):
+    return GridField(rif, h)
+
+
+def _steps_fwd(rif, h, ds):
+    return E.max_steps_fwd(max(rif.shape), h, ds)
+
+
+def _steps_bwd(rif, h, ds):
+    return E.max_steps_bwd(max(rif.shape), h, ds)
+
+
+# ---------------------------------------------------------------------------
+# trace — BackTracerC analog
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def trace(rif, x, v, h, ds):
+    """Differentiable volume trace.  rif: (D,H,W) voxel grid; x, v: (N,3).
+
+    Returns exit state (xt, vt).  d(loss)/d(rif) is computed by the
+    constant-memory adjoint (BackTracerC, core/tracer.py:294-335).
+    """
+    return E.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
+
+
+def _trace_fwd(rif, x, v, h, ds):
+    out = E.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
+    return out, (rif, out[0], out[1])
+
+
+def _trace_bwd(h, ds, res, cts):
+    rif, xt, vt = res
+    dxt, dvt = cts
+    g = E.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    return g.reshape(rif.shape), jnp.zeros_like(xt), jnp.zeros_like(vt)
+
+
+trace.defvjp(_trace_fwd, _trace_bwd)
+
+
+# ---------------------------------------------------------------------------
+# trace_plane — BackPlaneTracerC analog
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def trace_plane(rif, x, v, pln_o, pln_d, h, ds):
+    """Trace terminating past the per-ray plane; returns (xt, vt, miss).
+
+    ``miss`` marks rays that never exited; their position cotangent is zeroed
+    in the backward pass (core/tracer.py:366-371).
+    """
+    return E.trace_plane(_grid(rif, h), x, v, pln_o, pln_d, ds,
+                         _steps_fwd(rif, h, ds))
+
+
+def _trace_plane_fwd(rif, x, v, pln_o, pln_d, h, ds):
+    out = E.trace_plane(_grid(rif, h), x, v, pln_o, pln_d, ds,
+                        _steps_fwd(rif, h, ds))
+    xt, vt, miss = out
+    return out, (rif, xt, vt, miss)
+
+
+def _trace_plane_bwd(h, ds, res, cts):
+    rif, xt, vt, miss = res
+    dxt, dvt, _ = cts
+    dxt = jnp.where(miss[:, None], 0.0, dxt)
+    g = E.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    zeros3 = jnp.zeros_like(xt)
+    return (g.reshape(rif.shape), zeros3, zeros3,
+            jnp.zeros_like(xt), jnp.zeros_like(xt))
+
+
+trace_plane.defvjp(_trace_plane_fwd, _trace_plane_bwd)
+
+
+# ---------------------------------------------------------------------------
+# trace_target — BackTargetTracerC analog
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def trace_target(rif, x, v, target, h, ds):
+    """Trace recording closest approach to per-ray targets; returns
+    (xt, vt, dist2).  dist2 carries no gradient (core/tracer.py:415-432)."""
+    return E.trace_target(_grid(rif, h), x, v, target, ds,
+                          _steps_fwd(rif, h, ds))
+
+
+def _trace_target_fwd(rif, x, v, target, h, ds):
+    out = E.trace_target(_grid(rif, h), x, v, target, ds, _steps_fwd(rif, h, ds))
+    xt, vt, d2 = out
+    return out, (rif, xt, vt)
+
+
+def _trace_target_bwd(h, ds, res, cts):
+    rif, xt, vt = res
+    dxt, dvt, _ = cts
+    g = E.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    zeros3 = jnp.zeros_like(xt)
+    return g.reshape(rif.shape), zeros3, zeros3, zeros3
+
+
+trace_target.defvjp(_trace_target_fwd, _trace_target_bwd)
+
+
+# ---------------------------------------------------------------------------
+# trace_sdf — BackSDFTracerC analog
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def trace_sdf(rif, sdf, x, v, h, ds):
+    """Trace where the medium interior is sdf < 0; returns (xt, vt).
+
+    Only rif receives a gradient; the sdf grid cotangent is zero
+    (core/tracer.py:461-479)."""
+    steps = int(2.0 * h * max(rif.shape) / ds)  # tracer.cpp:262
+    return E.trace_sdf(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
+
+
+def _trace_sdf_fwd(rif, sdf, x, v, h, ds):
+    steps = int(2.0 * h * max(rif.shape) / ds)
+    out = E.trace_sdf(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
+    return out, (rif, sdf, out[0], out[1])
+
+
+def _trace_sdf_bwd(h, ds, res, cts):
+    rif, sdf, xt, vt = res
+    dxt, dvt = cts
+    g = E.backtrace_sdf(_grid(rif, h), _grid(sdf, h), xt, vt, dxt, dvt, ds,
+                        _steps_bwd(rif, h, ds))
+    zeros3 = jnp.zeros_like(xt)
+    return g.reshape(rif.shape), jnp.zeros_like(sdf), zeros3, zeros3
+
+
+trace_sdf.defvjp(_trace_sdf_fwd, _trace_sdf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# trace_cable — BackCableTracerC analog
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 6))
+def trace_cable(rif, radius, length, x, v, target, ds):
+    """Cylinder-volume trace; rif is the 1D radial profile.  Returns
+    (xt, vt, dist2) (core/tracer.py:482-527)."""
+    steps = int(4.0 * length / ds)  # tracer.cpp:332
+    return E.trace_cable(CylinderField(rif, radius, length), x, v, target,
+                         ds, steps)
+
+
+def _trace_cable_fwd(rif, radius, length, x, v, target, ds):
+    steps = int(4.0 * length / ds)
+    out = E.trace_cable(CylinderField(rif, radius, length), x, v, target,
+                        ds, steps)
+    return out, (rif, out[0], out[1])
+
+
+def _trace_cable_bwd(radius, length, ds, res, cts):
+    rif, xt, vt = res
+    dxt, dvt, _ = cts
+    steps = int(4.0 * length / ds)  # tracer.cpp:544
+    g = E.backtrace_cable(CylinderField(rif, radius, length), xt, vt,
+                          dxt, dvt, ds, steps)
+    zeros3 = jnp.zeros_like(xt)
+    return g, zeros3, zeros3, zeros3
+
+
+trace_cable.defvjp(_trace_cable_fwd, _trace_cable_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Autodiff-tape analogs (debug / cross-validation)
+# ---------------------------------------------------------------------------
+
+def trace_ad(rif, x, v, h, ds):
+    """ADTracerC analog: the same forward, differentiable with plain jax.grad
+    through `lax.scan` (O(steps) memory).  Used to validate `trace`'s adjoint."""
+    return E.trace_scan(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))

@@ -1,0 +1,21 @@
+"""Test harness config: force an 8-device virtual CPU platform.
+
+The container's sitecustomize registers the axon TPU backend and overrides
+the JAX_PLATFORMS env var, so we must override via jax.config *after* import.
+Sharding tests use the 8 virtual CPU devices; everything else runs on CPU —
+the real chip is reserved for bench.py.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Math-validation tests run in float64 on CPU for tight tolerances; the
+# package itself is dtype-polymorphic (bench/TPU paths run float32).
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,300 @@
+"""Tracer tests: forward semantics + the adjoint-vs-autodiff gradient check.
+
+The central correctness criterion (SURVEY.md §4, BASELINE.md): the
+constant-memory adjoint gradient must match the gradient obtained by plain
+autodiff through the scan-based forward (the analog of the reference's
+AD-tape vs adjoint cross-validation), and both must match finite differences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adjointnonlinearraytracing_tpu import tracer
+from adjointnonlinearraytracing_tpu.fields import GridField, CylinderField
+from adjointnonlinearraytracing_tpu.tracer import eikonal as E
+
+
+def bump_field(res=9, h=1.0, amp=0.1, dtype=jnp.float64):
+    """Smooth refractive bump centered in the volume."""
+    idx = jnp.arange(res, dtype=dtype) * h
+    z, y, x = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    c = (res - 1) * h / 2
+    r2 = (x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2
+    sigma = (res - 1) * h / 4
+    return 1.0 + amp * jnp.exp(-r2 / (2 * sigma ** 2))
+
+
+def entry_rays(n=16, res=9, h=1.0, seed=0, dtype=jnp.float64):
+    """Rays starting below the volume moving up (+y), slightly tilted."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    span = (res - 1) * h
+    xz = jax.random.uniform(k1, (n, 2), minval=0.25 * span, maxval=0.75 * span,
+                            dtype=dtype)
+    x = jnp.stack([xz[:, 0], -0.5 * jnp.ones(n, dtype), xz[:, 1]], axis=-1)
+    tilt = 0.1 * jax.random.normal(k2, (n, 2), dtype=dtype)
+    v = jnp.stack([tilt[:, 0], jnp.ones(n, dtype), tilt[:, 1]], axis=-1)
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return x, v
+
+
+class TestForward:
+    def test_uniform_field_straight(self):
+        """In a constant field rays go straight; exit is at the first sample
+        past the far face."""
+        res, h = 9, 1.0
+        rif = jnp.ones((res, res, res))
+        x, v = entry_rays(8, res, h)
+        ds = 0.25
+        xt, vt = tracer.trace(rif, x, v, h, ds)
+        np.testing.assert_allclose(vt, v, atol=1e-12)
+        # exit point lies on the straight line
+        t = (xt - x)[:, 1] / v[:, 1]
+        expect = x + t[:, None] * v
+        np.testing.assert_allclose(xt, expect, atol=1e-9)
+        # and just past the top face
+        span = (res - 1) * h
+        assert jnp.all(xt[:, 1] >= span)
+        assert jnp.all(xt[:, 1] <= span + 2 * ds)
+
+    def test_scan_matches_while(self):
+        rif = bump_field()
+        x, v = entry_rays()
+        ds = 0.5
+        xt1, vt1 = tracer.trace(rif, x, v, 1.0, ds)
+        xt2, vt2 = tracer.trace_ad(rif, x, v, 1.0, ds)
+        np.testing.assert_allclose(xt1, xt2, atol=1e-12)
+        np.testing.assert_allclose(vt1, vt2, atol=1e-12)
+
+    def test_gradient_bends_rays(self):
+        """A positive-index bump pulls rays toward its center (light bends
+        toward higher n)."""
+        res, h = 17, 1.0
+        rif = bump_field(res, h, amp=0.3)
+        span = (res - 1) * h
+        # ray passing off-center
+        x = jnp.array([[span / 2 + 3.0, -0.5, span / 2]])
+        v = jnp.array([[0.0, 1.0, 0.0]])
+        xt, vt = tracer.trace(rif, x, v, h, h / 4)
+        # deflected toward the center in x
+        assert vt[0, 0] < -1e-4
+        assert xt[0, 0] < x[0, 0]
+
+    def test_plane_termination(self):
+        res, h = 9, 1.0
+        rif = jnp.ones((res, res, res))
+        x, v = entry_rays(4, res, h)
+        span = (res - 1) * h
+        pln_o = jnp.tile(jnp.array([[0.0, span / 2, 0.0]]), (4, 1))
+        pln_d = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (4, 1))
+        xt, vt, miss = tracer.trace_plane(rif, x, v, pln_o, pln_d, h, 0.25)
+        assert not jnp.any(miss)
+        # terminated just past the mid-plane, well inside the volume
+        assert jnp.all(xt[:, 1] >= span / 2)
+        assert jnp.all(xt[:, 1] <= span / 2 + 0.5)
+
+    def test_target_closest_approach(self):
+        res, h = 9, 1.0
+        rif = jnp.ones((res, res, res))
+        span = (res - 1) * h
+        x = jnp.array([[span / 2 + 1.3, -0.5, span / 2]])
+        v = jnp.array([[0.0, 1.0, 0.0]])
+        target = jnp.array([[span / 2, span / 2, span / 2]])
+        xt, vt, d2 = tracer.trace_target(rif, x, v, target, h, 0.25)
+        # closest approach of the straight line is at y = span/2, distance 1.3
+        np.testing.assert_allclose(jnp.sqrt(d2), 1.3, atol=0.05)
+        np.testing.assert_allclose(xt[0, 1], span / 2, atol=0.3)
+
+    def test_sdf_sphere_exit(self):
+        """With an sdf sphere inside the cube, rays exit at the sphere."""
+        res, h = 17, 1.0
+        rif = jnp.ones((res, res, res))
+        idx = jnp.arange(res, dtype=jnp.float64) * h
+        z, y, x3 = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        c = (res - 1) * h / 2
+        rad = 6.0
+        sdf = jnp.sqrt((x3 - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) - rad
+        # ray through the center entering the sphere
+        x = jnp.array([[c, c - rad + 0.25, c]])
+        v = jnp.array([[0.0, 1.0, 0.0]])
+        xt, vt = tracer.trace_sdf(rif, sdf, x, v, h, 0.25)
+        # exits the sphere near the far intersection y = c + rad
+        np.testing.assert_allclose(xt[0, 1], c + rad, atol=0.5)
+
+    def test_cable_straight_line(self):
+        res = 9
+        rif = jnp.ones((res,))
+        radius, length = 1.0, 4.0
+        # axial ray down the cylinder center
+        x = jnp.array([[radius, 0.1, radius]])
+        v = jnp.array([[0.0, 1.0, 0.0]])
+        target = jnp.array([[radius, 3.9, radius]])
+        xt, vt, d2 = tracer.trace_cable(rif, radius, length, x, v, target, 0.05)
+        np.testing.assert_allclose(d2[0], 0.0, atol=1e-3)
+        np.testing.assert_allclose(vt, v, atol=1e-10)
+
+
+class TestAdjointGradient:
+    """The make-or-break tests: constant-memory adjoint == autodiff tape."""
+
+    def _loss_pair(self, rif, x, v, h, ds, wx, wv):
+        def loss_adj(r):
+            xt, vt = tracer.trace(r, x, v, h, ds)
+            return jnp.sum(xt * wx) + jnp.sum(vt * wv)
+
+        def loss_ad(r):
+            xt, vt = tracer.trace_ad(r, x, v, h, ds)
+            return jnp.sum(xt * wx) + jnp.sum(vt * wv)
+
+        return loss_adj, loss_ad
+
+    def test_linear_loss_allclose(self):
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(12, res, h)
+        ds = h / 2
+        key = jax.random.PRNGKey(42)
+        wx = jax.random.normal(key, x.shape)
+        wv = jax.random.normal(jax.random.PRNGKey(43), v.shape)
+
+        loss_adj, loss_ad = self._loss_pair(rif, x, v, h, ds, wx, wv)
+        assert abs(loss_adj(rif) - loss_ad(rif)) < 1e-10
+
+        g_adj = jax.grad(loss_adj)(rif)
+        g_ad = jax.grad(loss_ad)(rif)
+        scale = jnp.abs(g_ad).max()
+        np.testing.assert_allclose(g_adj / scale, g_ad / scale, atol=5e-6)
+
+    def test_quadratic_loss_allclose(self):
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.25)
+        x, v = entry_rays(8, res, h, seed=7)
+        ds = h / 2
+        span = (res - 1) * h
+        target = jnp.array([span / 2, span + 2.0, span / 2])
+
+        def loss(r, fn):
+            xt, vt = fn(r, x, v, h, ds)
+            return jnp.sum((xt - target) ** 2) / x.shape[0]
+
+        g_adj = jax.grad(lambda r: loss(r, tracer.trace))(rif)
+        g_ad = jax.grad(lambda r: loss(r, tracer.trace_ad))(rif)
+        scale = jnp.abs(g_ad).max()
+        np.testing.assert_allclose(g_adj / scale, g_ad / scale, atol=5e-6)
+
+    def test_finite_difference_spotcheck(self):
+        res, h = 5, 1.0
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(4, res, h, seed=3)
+        ds = h / 2
+        wx = jnp.ones_like(x)
+        wv = jnp.zeros_like(v)
+        loss_adj, _ = self._loss_pair(rif, x, v, h, ds, wx, wv)
+        g = jax.grad(loss_adj)(rif)
+
+        eps = 1e-5
+        # probe the 3 largest-gradient voxels
+        flat = np.asarray(jnp.abs(g).reshape(-1))
+        for idx in np.argsort(flat)[-3:]:
+            z, y, xi = np.unravel_index(idx, g.shape)
+            dr = jnp.zeros_like(rif).at[z, y, xi].set(eps)
+            fd = (loss_adj(rif + dr) - loss_adj(rif - dr)) / (2 * eps)
+            np.testing.assert_allclose(g[z, y, xi], fd, rtol=2e-4, atol=1e-8)
+
+    def test_ray_cotangents_zero(self):
+        """Matching the reference contract: only rif gets a gradient."""
+        res, h = 5, 1.0
+        rif = bump_field(res, h)
+        x, v = entry_rays(4, res, h)
+
+        def loss(xx, vv):
+            xt, vt = tracer.trace(rif, xx, vv, h, 0.5)
+            return jnp.sum(xt)
+
+        gx, gv = jax.grad(loss, argnums=(0, 1))(x, v)
+        assert jnp.all(gx == 0)
+        assert jnp.all(gv == 0)
+
+    def test_plane_variant_allclose(self):
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(8, res, h, seed=11)
+        ds = h / 2
+        span = (res - 1) * h
+        n = x.shape[0]
+        pln_o = jnp.tile(jnp.array([[0.0, span + 1.0, 0.0]]), (n, 1))
+        pln_d = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (n, 1))
+
+        def loss_adj(r):
+            xt, vt, miss = tracer.trace_plane(r, x, v, pln_o, pln_d, h, ds)
+            return jnp.sum(xt ** 2)
+
+        # plane far behind the exit face: identical to plain trace exits
+        def loss_ad(r):
+            xt, vt = tracer.trace_ad(r, x, v, h, ds)
+            return jnp.sum(xt ** 2)
+
+        g_adj = jax.grad(loss_adj)(rif)
+        g_ad = jax.grad(loss_ad)(rif)
+        scale = jnp.abs(g_ad).max()
+        np.testing.assert_allclose(g_adj / scale, g_ad / scale, atol=5e-6)
+
+    def test_cable_gradient_fd(self):
+        """Cable adjoint vs finite differences on the radial profile."""
+        res = 9
+        rif = 1.0 + 0.1 * jnp.linspace(1.0, 0.0, res) ** 2
+        radius, length = 1.0, 4.0
+        key = jax.random.PRNGKey(5)
+        # off-axis rays entering the bottom cap
+        r0 = jax.random.uniform(key, (6,), minval=0.1, maxval=0.6)
+        th = jax.random.uniform(jax.random.PRNGKey(6), (6,), minval=0, maxval=2 * np.pi)
+        x = jnp.stack([radius + r0 * jnp.cos(th),
+                       0.01 * jnp.ones(6),
+                       radius + r0 * jnp.sin(th)], axis=-1)
+        v = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (6, 1))
+        target = jnp.tile(jnp.array([[radius, 3.5, radius]]), (6, 1))
+        ds = 0.02
+
+        def loss(r):
+            xt, vt, d2 = tracer.trace_cable(r, radius, length, x, v, target, ds)
+            return jnp.sum(xt ** 2) + jnp.sum(xt * vt)
+
+        g = jax.grad(loss)(rif)
+        eps = 1e-6
+        flat = np.asarray(jnp.abs(g))
+        for idx in np.argsort(flat)[-3:]:
+            dr = jnp.zeros_like(rif).at[idx].set(eps)
+            fd = (loss(rif + dr) - loss(rif - dr)) / (2 * eps)
+            np.testing.assert_allclose(g[idx], fd, rtol=5e-3, atol=1e-7)
+
+    def test_sdf_gradient_fd(self):
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.2)
+        idx = jnp.arange(res, dtype=jnp.float64) * h
+        z, y, x3 = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        c = (res - 1) * h / 2
+        sdf = jnp.sqrt((x3 - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) - 3.0
+        x = jnp.array([[c + 0.5, c - 2.75, c], [c, c - 2.8, c + 0.3]])
+        v = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (2, 1))
+        ds = h / 4
+
+        def loss(r):
+            xt, vt = tracer.trace_sdf(r, sdf, x, v, h, ds)
+            return jnp.sum(xt ** 2) + jnp.sum(vt)
+
+        g = jax.grad(loss)(rif)
+        eps = 1e-5
+        flat = np.asarray(jnp.abs(g).reshape(-1))
+        for idx in np.argsort(flat)[-3:]:
+            zz, yy, xx = np.unravel_index(idx, g.shape)
+            dr = jnp.zeros_like(rif).at[zz, yy, xx].set(eps)
+            fd = (loss(rif + dr) - loss(rif - dr)) / (2 * eps)
+            np.testing.assert_allclose(g[zz, yy, xx], fd, rtol=5e-3, atol=1e-8)
+
+
+class TestMaxSteps:
+    def test_formulas(self):
+        assert E.max_steps_fwd(129, 20 / 128, (20 / 128) / 2) == 1032
+        assert E.max_steps_bwd(129, 20 / 128, (20 / 128) / 2) == 516
