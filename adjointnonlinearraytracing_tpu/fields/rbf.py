@@ -26,7 +26,7 @@ _SQRT2 = 1.4142135623730951
 
 def rbf_tent(r):
     """Tent kernel on the stencil radius (core/grid.py:76-81)."""
-    w = jnp.clip(_SQRT2 - r, a_min=0.0)
+    w = jnp.clip(_SQRT2 - r, min=0.0)
     wx = -(r < _SQRT2).astype(r.dtype)
     return w, wx, 0.0
 

@@ -95,7 +95,8 @@ def make_sharded_trace(mesh: Mesh, h: float, ds: float, res_max: int):
     )
 
     def _bwd_local(rif, xt, vt, dxt, dvt):
-        g = E.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b)
+        g = E.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
+                        axis_name="rays")
         return jax.lax.psum(g, "rays")
 
     bwd_sharded = shard_map(
@@ -138,7 +139,8 @@ def make_sharded_trace_plane(mesh: Mesh, h: float, ds: float, res_max: int):
     )
 
     def _bwd_local(rif, xt, vt, dxt, dvt):
-        g = E.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b)
+        g = E.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
+                        axis_name="rays")
         return jax.lax.psum(g, "rays")
 
     bwd_sharded = shard_map(

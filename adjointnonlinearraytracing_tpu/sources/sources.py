@@ -543,7 +543,7 @@ def norm_image(im):
 def tent_filter(x, r=1):
     inv_dist = r - x
     dx = jnp.where(inv_dist < 0, 0.0, -jnp.ones_like(x))
-    return jnp.clip(inv_dist, a_min=0), dx
+    return jnp.clip(inv_dist, min=0), dx
 
 
 def gauss_filter(x, r=1.0, a=0.5):

@@ -229,14 +229,18 @@ def trace_cable(field: C.CylinderField, x0, v0, target, ds, max_steps: int):
 # Constant-memory adjoints
 # ---------------------------------------------------------------------------
 
-def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int):
+def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
+              axis_name=None):
     """Adjoint reverse sweep; returns the flat voxel gradient
-    (tracer.cpp:384-440)."""
+    (tracer.cpp:384-440).  Pass ``axis_name`` when called inside `shard_map`
+    so the gradient carry is typed as device-varying."""
     ds = jnp.asarray(ds, dtype=xt.dtype)
     la0 = dx
     mu0 = dv + ds * dx
     active0 = ~G.escaped(field, xt, -vt)
     g0 = jnp.zeros((field.data.size,), dtype=field.data.dtype)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
 
     def cond(s):
         step, *_, active, _ = s
@@ -272,7 +276,7 @@ def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int):
 
 
 def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
-                  max_steps: int):
+                  max_steps: int, axis_name=None):
     """Adjoint sweep with sdf-crossing deactivation (tracer.cpp:443-509)."""
     ds = jnp.asarray(ds, dtype=xt.dtype)
     la0 = dx
@@ -281,6 +285,8 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
     dist0, _ = G.eval_grad(sdf, xt, active0)
     outside0 = dist0 >= 0
     g0 = jnp.zeros((field.data.size,), dtype=field.data.dtype)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
 
     def cond(s):
         step, *_, active, _outside, _g = s
@@ -312,7 +318,8 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
     return g
 
 
-def backtrace_cable(field: C.CylinderField, xt, vt, dx, dv, ds, max_steps: int):
+def backtrace_cable(field: C.CylinderField, xt, vt, dx, dv, ds, max_steps: int,
+                    axis_name=None):
     """Adjoint sweep through the cylinder volume; returns the radial-profile
     gradient (tracer.cpp:511-567)."""
     ds = jnp.asarray(ds, dtype=xt.dtype)
@@ -320,6 +327,8 @@ def backtrace_cable(field: C.CylinderField, xt, vt, dx, dv, ds, max_steps: int):
     mu0 = dv + ds * dx
     active0 = ~C.cyl_escaped(field, xt, -vt)
     g0 = jnp.zeros_like(field.data)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
 
     def cond(s):
         step, *_, active, _g = s
