@@ -1,0 +1,2 @@
+from . import config, voxel_scenes, common
+from . import luneburg, image, fuel_injection, focalstack, fiber

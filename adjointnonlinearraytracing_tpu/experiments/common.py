@@ -1,0 +1,86 @@
+"""Shared experiment-driver plumbing.
+
+Each driver mirrors its reference twin (core/*_opt.py): a params dict with
+the same keys, a loss over freshly generated rays each iteration, the
+multires Adam loop.  Differences by design:
+
+* randomness flows through explicit PRNG keys (params['seed']),
+* rejected/cropped rays are masked, not dropped (static shapes),
+* ``autodiff`` switches between the constant-memory adjoint (`tracer.trace`)
+  and plain autodiff through the scan forward (`tracer.trace_ad`) — the same
+  cross-validation toggle as the reference's ADTracerC/BackTracerC,
+* ``mesh=True`` runs the trace/adjoint sharded over all devices
+  (parallel/mesh.py) with rays padded to the shard count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tracer
+from ..parallel import mesh as pmesh
+
+
+def masked_mean_sq(diff, mask):
+    """sum(mask * diff^2) / count(mask): the masked analog of dropping rows."""
+    m = mask.astype(diff.dtype)
+    if diff.ndim == 2:
+        m = m[:, None]
+    return jnp.sum(m * diff ** 2) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def masked_sum_sq(diff, mask):
+    m = mask.astype(diff.dtype)
+    if diff.ndim == 2:
+        m = m[:, None]
+    return jnp.sum(m * diff ** 2)
+
+
+def make_trace(vol_span, ds, autodiff=False, use_mesh=False, res=None):
+    """Volume trace closure: h is derived from the *current* grid resolution
+    (luneburg_opt.py:85-89) while ds stays fixed from the finest one."""
+    the_mesh = pmesh.make_ray_mesh() if use_mesh else None
+    cache = {}
+
+    def trace(nt, x, v):
+        h = vol_span / max(nt.shape[0] - 1, 1)
+        if autodiff:
+            return tracer.trace_ad(nt, x, v, h, ds)
+        if the_mesh is not None:
+            key = (nt.shape[0], float(h))
+            if key not in cache:
+                cache[key] = pmesh.make_sharded_trace(
+                    the_mesh, h, ds, max(nt.shape))
+            return cache[key](nt, x, v)
+        return tracer.trace(nt, x, v, h, ds)
+
+    return trace
+
+
+def per_view_planes(planes, rpv):
+    """First-plane-per-view sensor list (luneburg_opt.py:70-78).
+
+    rpv entries are equal static counts; returns lists of (1,3) arrays.
+    """
+    sensor_p, sensor_n, sensor_t = [], [], []
+    offset = 0
+    for count in rpv:
+        sensor_p.append(planes[None, offset, 0, :])
+        sensor_n.append(planes[None, offset, 1, :])
+        sensor_t.append(planes[None, offset, 2, :])
+        offset += count
+    return sensor_p, sensor_n, sensor_t
+
+
+def split_views(arr, rpv):
+    """Static split of a concatenated per-view array."""
+    out = []
+    offset = 0
+    for count in rpv:
+        out.append(arr[offset:offset + count])
+        offset += count
+    return out

@@ -1,0 +1,177 @@
+"""GRIN-fiber radial-profile optimization (reference: core/fiber_opt.py).
+
+Optimizes a 1D radial refractive-index profile of a graded-index fiber so a
+planar/cone bundle entering the bottom cap self-images at ``sensor_dist`` and
+again one ``hop_distance`` later (weighted by ``hop_weight``).  The known
+ground truth is the self-focusing profile ``n(r) = sqrt(2 - r^2)``
+(fiber_opt.py:165-166).
+
+This driver keeps the reference's hand-rolled per-resolution loop (its own
+midpoint-insertion upres and fresh Adam per stage with lr/2^stage,
+fiber_opt.py:176-262) rather than the shared multires engine.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import sensors, tracer
+from ..fields.cylinder import (CylinderField, cyl_eval_grad,
+                               upres_profile_midpoint)
+from ..sources import sources as S
+from ..utils.metrics import MetricsLogger
+
+
+def ground_truth(res: int, dtype=jnp.float32):
+    """n(r) = sqrt(2 - r^2) on [0, 1] (fiber_opt.py:165-166)."""
+    r = jnp.linspace(0.0, 1.0, res, dtype=dtype)
+    return jnp.sqrt(2.0 - r ** 2)
+
+
+def default_params() -> Dict:
+    # mirrors run_default_params (fiber_opt.py:13-35, syntax-repaired) and
+    # the params-fiber.yaml hop2opt section
+    return dict(
+        hop_distance=3.14,
+        cable_length=5.0,
+        cable_radius=1.0,
+        cone_ang=30.0,
+        camera_span=0.1,
+        lr=0.01,
+        src_type="planar",
+        res_list=[3, 5, 9, 17, 33, 65, 129],
+        optim_iters=30,
+        record_iters=30,
+        nbins=64,
+        spp=1,
+        npasses=1,
+        sensor_distance=1.57,
+        hop_weight=0.1,
+        plane_epsilon=0.001,
+        autodiff=False,
+        seed=0,
+    )
+
+
+def multires_exp(params: Dict, result_dir: Optional[str] = None):
+    """Main driver (fiber_opt.py:102-284).  Returns (final_n, loss_hist)."""
+    init_offset = params.get("init_offset", 0)
+    res_list = params.get("res_list", [32])
+    cable_length = params.get("cable_length", float(res_list[-1]))
+    cable_radius = params.get("cable_radius", 1.0)
+    camera_span = params.get("camera_span", cable_radius)
+    cone_ang = params.get("cone_ang", 100.0)
+    src_type = params.get("src_type", "planar")
+    spp = params.get("spp", 1)
+    npasses = params.get("npasses", 2)
+    sensor_dist = params.get("sensor_distance", 0)
+    hop_dist = params.get("hop_distance", 3.14)
+    hop_weight = params.get("hop_weight", 0.1)
+    optim_iters = params.get("optim_iters", 300)
+    record_iters = params.get("record_iters", optim_iters)
+    nbins = params.get("nbins", res_list[-1])
+    projected_step = params.get("projected_step", False)
+    lr = params.get("lr", 1e-4)
+    autodiff = params.get("autodiff", False)
+    plane_eps = params.get("plane_epsilon", 0.001)
+    seed = params.get("seed", 0)
+    dtype = params.get("dtype", jnp.float32)
+
+    metrics = MetricsLogger(
+        f"{result_dir}/metrics.jsonl" if result_dir else None)
+
+    def gen_start_rays(key):
+        sdx = sensor_dist - cable_radius * 2
+        if src_type == "planar":
+            rays = S.plane_source3_rand(key, 0.0, (nbins, nbins), spp,
+                                        cable_radius * 2, circle=True,
+                                        sensor_dist=sdx)
+        else:
+            rays = S.cone_source3_rand(key, 0.0, (nbins, nbins), spp,
+                                       cable_radius * 2,
+                                       sensor_dist=sensor_dist,
+                                       cone_angle=cone_ang)
+        return S.Rays(rays.x.astype(dtype), rays.v.astype(dtype),
+                      rays.planes.astype(dtype), rays.mask)
+
+    def trace(nt, x, v, sp):
+        # fiber_opt.py:153-163: normalize entry velocity by the boundary
+        # index so |v| = n on entry, then trace the cylinder volume
+        sds = cable_radius / nt.shape[0] / 2
+        vol = CylinderField(nt, cable_radius, cable_length)
+        n_bound, _ = cyl_eval_grad(vol, x)
+        v = v / n_bound[:, None]
+        return tracer.trace_cable(nt, cable_radius, cable_length, x, v, sp,
+                                  float(sds))
+
+    def pass_loss(nt, rays, hop: float):
+        """Squared distance of closest approach to the (hopped) focal point,
+        eps-masked (fiber_opt.py:194-223)."""
+        sn = rays.planes[:, 1, :]
+        sp = rays.planes[:, 0, :] + hop * sn
+        xm, vm, dist2 = trace(nt, rays.x, rays.v, sp)
+        eps_mask = (dist2 > plane_eps ** 2) & rays.mask
+        nrays = rays.x.shape[0]
+        loss_vec = jnp.where(eps_mask[:, None], (xm - sp) ** 2, 0.0) \
+            / nrays / cable_radius
+        return jnp.sum(loss_vec) / camera_span, (xm, vm)
+
+    n = jnp.ones(res_list[0], dtype=dtype) + init_offset
+    key = jax.random.PRNGKey(seed)
+    loss_hist = []
+    cum_steps = 0
+
+    for res_iter in range(len(res_list)):
+        opt = optax.adam((0.5 ** max(res_iter - 1, 0)) * lr
+                         if res_iter > 0 else lr)
+        opt_state = opt.init(n)
+
+        @jax.jit
+        def step(n, opt_state, key):
+            def total_loss(nt):
+                rays = gen_start_rays(key)
+                near, _ = pass_loss(nt, rays, 0.0)
+                far, _ = pass_loss(nt, rays, hop_dist)
+                return near + hop_weight * far
+
+            loss, g = jax.value_and_grad(total_loss)(n)
+            g = g.at[-1].set(0.0)  # freeze the boundary bin (fiber_opt.py:240-241)
+            updates, opt_state = opt.update(g, opt_state, n)
+            n2 = optax.apply_updates(n, updates)
+            if projected_step:
+                n2 = jnp.maximum(n2, 1.0)
+            return n2, opt_state, loss, g
+
+        for j in range(optim_iters * (res_iter + 1)):
+            key, sub = jax.random.split(key)
+            n, opt_state, loss, g = step(n, opt_state, sub)
+            loss_hist.append(float(loss))
+
+            it = j + cum_steps
+            metrics.log(it, loss=loss, res=n.shape[0])
+            if result_dir and (it % record_iters == 0):
+                from ..utils.plotting import save_profile_plot
+                save_profile_plot(n, g, f"{result_dir}/fiber_profile_{it}.png")
+        cum_steps += optim_iters * (res_iter + 1)
+
+        if res_iter < len(res_list) - 1:
+            # midpoint-insert upres toward the next resolution
+            # (fiber_opt.py:60-68 doubles; repeat until >= requested res)
+            while n.shape[0] < res_list[res_iter + 1]:
+                n = upres_profile_midpoint(n)
+
+    if result_dir:
+        from ..utils.plotting import save_loss_plot
+        save_loss_plot(loss_hist, f"{result_dir}/loss_plot.png")
+        import numpy as np
+        np.savez(f"{result_dir}/result.npz", rif=np.asarray(n),
+                 loss_hist=np.asarray(loss_hist))
+    return n, loss_hist
+
+
+if __name__ == "__main__":
+    multires_exp(default_params(), "results/fiber")

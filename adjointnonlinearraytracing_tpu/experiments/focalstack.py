@@ -1,0 +1,158 @@
+"""Focal-stack optimization (reference: core/focalstack_opt.py).
+
+Single view, cone/planar source; per-ray emission is sampled from a source
+image at the source-side plane; sensor images rendered at several focus
+distances are MSE-matched against the measured focal stack (the lego-knight
+experiment, data/params-legoknight-fs.yaml).
+
+The lego-knight captures are not in the reference repo; use
+``make_synthetic_stack`` to manufacture a stack from a known scene for tests
+and benchmarks, or pass real measurements via params.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import sensors
+from ..opt import multires_opt
+from ..sources import sources as S
+from ..utils.metrics import MetricsLogger
+from . import common
+
+
+def _gen_start_rays(key, src_type, nbins, samples, span, angle_s, src_angle,
+                    dtype):
+    nviews = 1
+    if src_type == "planar":
+        rays, rpv = S.rand_rays_in_sphere(
+            key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+            circle=False, xaxis=False, sensor_dist=0)
+        tpv = jnp.ones(rays.x.shape[0], dtype)
+    elif src_type == "point":
+        rays, rpv = S.rand_ptrays_in_sphere(
+            key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+            circle=False, xaxis=False, sensor_dist=0)
+        tpv = jnp.ones(rays.x.shape[0], dtype)
+    elif src_type == "cone":
+        rays, tpv, rpv = S.rand_cone_in_sphere(
+            key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+            circle=False, xaxis=False, sensor_dist=0, cone_angle=src_angle)
+    else:
+        rays, _, tpv, rpv = S.rand_area_in_sphere(
+            key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+            circle=False, xaxis=False, sensor_dist=1.0)
+    rays = S.Rays(rays.x.astype(dtype), rays.v.astype(dtype),
+                  rays.planes.astype(dtype), rays.mask)
+    return rays, rpv, tpv.astype(dtype)
+
+
+def render_stack(trace, eta, rays, src_image, sensor_dists, nbins, span,
+                 dtype):
+    """Trace rays and render one sensor image per focus distance."""
+    planes = rays.planes
+    sensor_p = planes[None, 0, 0, :]
+    sensor_n = planes[None, 0, 1, :]
+    sensor_t = planes[None, 0, 2, :]
+
+    e = sensors.get_sdf_vals_near(
+        (rays.x, rays.v), src_image,
+        (sensor_p - (span + sensor_dists[0]) * sensor_n, sensor_n),
+        span, sensor_t)
+    e = jax.lax.stop_gradient(e)  # focalstack_opt.py:92-93 (no_grad)
+
+    xm, vm = trace(eta, rays.x, rays.v)
+    images = [
+        S.sum_norm(sensors.generate_sensor(
+            (xm, vm), e, (sensor_p + d * sensor_n, sensor_n), nbins, span,
+            sensor_t, mask=rays.mask))
+        for d in sensor_dists]
+    return jnp.stack(images)
+
+
+def make_synthetic_stack(scene, params) -> List[jax.Array]:
+    """Render a GT focal stack from a known scene (for tests/benchmarks)."""
+    p = dict(params)
+    vol_span = p.get("vol_span", 1.0)
+    res_list = p.get("res_list", [3, 5, 9, 17, 33])
+    step_res = p.get("step_res", 2)
+    nbins = p.get("nbins", scene.shape[0])
+    dtype = p.get("dtype", jnp.float32)
+    h = vol_span / max(res_list[-1] - 1, 1)
+    ds = h / step_res
+    trace = common.make_trace(vol_span, ds)
+    rays, _, _ = _gen_start_rays(
+        jax.random.PRNGKey(p.get("seed", 0) + 77), p.get("source_type", "cone"),
+        nbins, p.get("spp", 1), vol_span, p.get("angle_span", 360),
+        p.get("src_angle", 30.0), dtype)
+    stack = render_stack(trace, scene, rays, p["source_image"],
+                         p["sensor_dists"], nbins, vol_span, dtype)
+    return [s for s in stack]
+
+
+def multires_exp(params: Dict, result_dir: Optional[str] = None):
+    """Main driver (focalstack_opt.py:15-127).  Returns (final_eta, loss_hist)."""
+    src_image = params["source_image"]
+    meas_focal = params["focal_stack"]
+    meas_dists = params.get("sensor_dists")
+    res_list = params.get("res_list", [3, 5, 9, 17, 33, 65])
+    vol_span = params.get("vol_span", 1)
+    spp = params.get("spp", 1)
+    step_res = params.get("step_res", 2)
+    angle_s = params.get("angle_span", 360)
+    nbins = params.get("nbins", meas_focal[0].shape[0])
+    lr = params.get("lr", 1e-4)
+    src_type = params.get("source_type", "planar")
+    src_angle = params.get("src_angle", 30.0)
+    autodiff = params.get("autodiff", False)
+    optim_iters = params.get("optim_iters", 300)
+    record_iters = params.get("record_iters", optim_iters // 10 + 1)
+    use_mesh = params.get("mesh", False)
+    seed = params.get("seed", 0)
+    dtype = params.get("dtype", jnp.float32)
+
+    h = vol_span / max(res_list[-1] - 1, 1)
+    ds = h / step_res
+    span = vol_span
+    measurements = jnp.stack(meas_focal)
+
+    metrics = MetricsLogger(
+        f"{result_dir}/metrics.jsonl" if result_dir else None)
+    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh)
+
+    def loss_function(eta, key):
+        rays, _, _ = _gen_start_rays(key, src_type, nbins, spp, span, angle_s,
+                                     src_angle, dtype)
+        stack = render_stack(trace, eta, rays, src_image, meas_dists, nbins,
+                             span, dtype)
+        return jnp.mean((stack - measurements) ** 2)
+
+    def log_function(iter_count, eta):
+        metrics.log(iter_count, res=eta.shape[0])
+        if result_dir is None or iter_count % record_iters != 0:
+            return
+        key = jax.random.PRNGKey(seed + 300_000 + iter_count)
+        rays, _, _ = _gen_start_rays(key, src_type, nbins, spp * 2, span,
+                                     angle_s, src_angle, dtype)
+        stack = render_stack(trace, eta, rays, src_image, meas_dists, nbins,
+                             span, dtype)
+        from ..utils.plotting import save_multiple_images
+        save_multiple_images(list(stack),
+                             f"{result_dir}/focalstack_{iter_count}.png")
+
+    n0 = params.get("init")
+    if n0 is None:
+        n0 = jnp.ones((res_list[0],) * 3, dtype=dtype)
+
+    final_eta, loss_hist = multires_opt(
+        loss_function, n0, optim_iters, res_list, log_function, lr=lr,
+        statename=f"{result_dir}/result" if result_dir else None,
+        key=jax.random.PRNGKey(seed))
+
+    if result_dir is not None:
+        from ..utils.plotting import save_loss_plot
+        save_loss_plot(loss_hist, f"{result_dir}/loss_plot.png")
+    return final_eta, loss_hist

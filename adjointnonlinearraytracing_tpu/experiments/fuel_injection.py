@@ -1,0 +1,157 @@
+"""Fuel-injection gas tomography (reference: core/fuel_injection_opt.py).
+
+Synthetic tomography: the 64^3 fuel-injection volume (padded to 65^3 and
+rescaled to a refractive-index field) is traced once to produce reference
+exit rays; the optimization recovers the field by matching plane-projected
+exit positions (+ weighted directions) against those references.  This is the
+north-star workload of BASELINE.json (128^3 grid, 10M rays/iter when scaled).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import sensors
+from ..opt import multires_opt
+from ..sources import sources as S
+from ..utils.metrics import MetricsLogger
+from . import common, voxel_scenes
+
+
+def default_params() -> Dict:
+    return dict(
+        res_list=[3, 5, 9, 17, 33, 65],
+        vol_span=1.0,
+        spp=1,
+        nviews=8,
+        sensor_distance=0,
+        step_res=2,
+        optim_iters=300,
+        record_iters=30,
+        angle_span=360,
+        nbins=128,
+        lr=1e-4,
+        source_type="planar",
+        autodiff=False,
+        fuel_val=0.0003,
+        defl_weight=1.0,
+        seed=0,
+    )
+
+
+def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
+    """Main driver (fuel_injection_opt.py:14-126).
+
+    ``gtruth`` overrides the loaded GT volume (used by tests/benchmarks with
+    synthetic scenes).  Returns (final_eta, loss_hist, gtruth).
+    """
+    res_list = params.get("res_list", [3, 5, 9, 17, 33, 65])
+    vol_span = params.get("vol_span", 1.0)
+    spp = params.get("spp", 1)
+    nviews = params.get("nviews", 1)
+    sensor_dist = params.get("sensor_distance", 0)
+    step_res = params.get("step_res", 2)
+    optim_iters = params.get("optim_iters", 300)
+    record_iters = params.get("record_iters", 30)
+    angle_s = params.get("angle_span", 360)
+    nbins = params.get("nbins", 128)
+    lr = params.get("lr", 1e-4)
+    src_type = params.get("source_type", "planar")
+    autodiff = params.get("autodiff", False)
+    fuel_val = params.get("fuel_val", 0.0003)
+    defl_weight = params.get("defl_weight", 1.0)
+    use_mesh = params.get("mesh", False)
+    seed = params.get("seed", 0)
+    dtype = params.get("dtype", jnp.float32)
+
+    h = vol_span / max(res_list[-1] - 1, 1)
+    ds = h / step_res
+    span = vol_span
+
+    if gtruth is None:
+        gtruth = voxel_scenes.fuel_injection_rif(fuel_val, dtype=dtype)
+
+    metrics = MetricsLogger(
+        f"{result_dir}/metrics.jsonl" if result_dir else None)
+
+    def gen_start_rays(key, samples):
+        if src_type == "planar":
+            rays, rpv = S.rand_rays_in_sphere(
+                key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+                circle=False, xaxis=False, sensor_dist=sensor_dist)
+        elif src_type == "point":
+            rays, rpv = S.rand_ptrays_in_sphere(
+                key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+                circle=False, xaxis=False, sensor_dist=sensor_dist)
+        else:
+            rays, _, _, rpv = S.rand_area_in_sphere(
+                key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+                circle=False, xaxis=False, sensor_dist=sensor_dist)
+        rays = S.Rays(rays.x.astype(dtype), rays.v.astype(dtype),
+                      rays.planes.astype(dtype), rays.mask)
+        return rays, rpv
+
+    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh)
+
+    # measurement rays are FIXED across the optimization (fuel_injection_opt
+    # traces the GT once, :85-86)
+    rays, rpv = gen_start_rays(jax.random.PRNGKey(seed), spp)
+    x_gt, v_gt = trace(gtruth, rays.x, rays.v)
+    x_gt, v_gt = sensors.trace_rays_to_plane(
+        (x_gt, v_gt), (rays.planes[:, 0, :], rays.planes[:, 1, :]))
+    x_gt = jax.lax.stop_gradient(x_gt)
+    v_gt = jax.lax.stop_gradient(v_gt)
+
+    def loss_function(eta, key):
+        xm, vm = trace(eta, rays.x, rays.v)
+        sn = rays.planes[:, 1, :]
+        sp = rays.planes[:, 0, :]
+        xmp, vmp = sensors.trace_rays_to_plane((xm, vm), (sp, sn))
+        disp_loss = common.masked_mean_sq(xmp - x_gt, rays.mask) / 3.0
+        defl_loss = common.masked_mean_sq(vmp - v_gt, rays.mask) / 3.0
+        return (disp_loss + defl_weight * defl_loss) / fuel_val
+
+    def log_function(iter_count, eta):
+        metrics.log(iter_count, res=eta.shape[0])
+        if result_dir is None or iter_count % record_iters != 0:
+            return
+        imx = eta[eta.shape[0] // 2, :, :]
+        imy = eta[:, eta.shape[1] // 2, :]
+        imz = eta[:, :, eta.shape[2] // 2]
+        from ..utils.plotting import save_multiple_images
+        save_multiple_images([imx, imy, imz],
+                             f"{result_dir}/fuel_injection_{iter_count}.png")
+
+    n0 = jnp.ones((res_list[0],) * 3, dtype=dtype) + fuel_val
+    final_eta, loss_hist = multires_opt(
+        loss_function, n0, optim_iters, res_list, log_function, lr=lr,
+        statename=f"{result_dir}/result" if result_dir else None,
+        key=jax.random.PRNGKey(seed + 1))
+
+    if result_dir is not None:
+        from ..utils.plotting import save_loss_plot
+        save_loss_plot(loss_hist, f"{result_dir}/loss_plot.png")
+    return final_eta, loss_hist, gtruth
+
+
+def reconstruction_error(eta, gtruth):
+    """Relative reconstruction error vs the GT volume, both resampled to the
+    recovered resolution (run_fuel_injection_2008.py:230-234 analog)."""
+    from ..fields.grid import upres_volume
+
+    gt = upres_volume(gtruth, eta.shape)
+    err = eta - gt
+    rel = jnp.linalg.norm(err.reshape(-1)) / jnp.linalg.norm(
+        (gt - 1.0).reshape(-1))
+    return dict(
+        rel_norm=float(rel),
+        max_abs=float(jnp.abs(err).max()),
+        l1=float(jnp.abs(err).mean()),
+    )
+
+
+if __name__ == "__main__":
+    run_opt(default_params(), "results/fuel_injection")

@@ -1,0 +1,193 @@
+"""Multi-view image-formation optimization (reference: core/image_opt.py).
+
+N views around the volume; per view a near-plane sensor image (tent-splat,
+mean-normalized) is MSE-matched against a target image (e.g. einstein.png /
+turing.png), optionally combined with far-field deflection images
+(``defl_weight``) or SDF-distance-texture losses (``sdf_loss``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import sensors
+from ..opt import multires_opt
+from ..sources import sources as S
+from ..utils.metrics import MetricsLogger
+from . import common
+
+
+def load_image(path: str, resolution: int, dtype=jnp.float32):
+    """Load + resize an image to (res, res) grayscale float (image_opt.py:157-162)."""
+    from PIL import Image
+
+    im = Image.open(path).resize((resolution, resolution))
+    arr = np.asarray(im).astype(np.float32)
+    if arr.ndim == 3:
+        arr = arr[..., :3].mean(axis=-1)
+    return jnp.asarray(arr, dtype=dtype)
+
+
+def multires_exp(params: Dict, result_dir: Optional[str] = None):
+    """Main driver (image_opt.py:16-155).  Returns (final_eta, loss_hist)."""
+    disp_ims = params.get("disp_ims", [None])
+    defl_ims = params.get("defl_ims", [None])
+    defl_weight = params.get("defl_weight", 1.0)
+    sdf_loss = params.get("sdf_loss", False)
+    sdf_disp = params.get("sdf_disp", [None])
+    sdf_defl = params.get("sdf_defl", [None])
+    res_list = params.get("res_list", [3, 5, 9, 17, 33, 65])
+    vol_span = params.get("vol_span", 1)
+    spp = params.get("spp", 1)
+    sensor_dist = params.get("sensor_distance", 0)
+    step_res = params.get("step_res", 2)
+    angle_s = params.get("angle_span", 360)
+    far_sensor_span = params.get("far_sensor_span", 120)
+    nbins = params.get("nbins", 128)
+    lr = params.get("lr", 1e-4)
+    src_type = params.get("source_type", "planar")
+    autodiff = params.get("autodiff", False)
+    optim_iters = params.get("optim_iters", 300)
+    record_iters = params.get("record_iters", optim_iters // 10 + 1)
+    use_mesh = params.get("mesh", False)
+    seed = params.get("seed", 0)
+    dtype = params.get("dtype", jnp.float32)
+
+    h = vol_span / max(res_list[-1] - 1, 1)
+    ds = h / step_res
+    span = vol_span
+    nviews = max(len(disp_ims), len(defl_ims))
+
+    metrics = MetricsLogger(
+        f"{result_dir}/metrics.jsonl" if result_dir else None)
+
+    def gen_start_rays(key, samples):
+        if src_type == "planar":
+            rays, rpv = S.rand_rays_in_sphere(
+                key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+                circle=False, xaxis=False, sensor_dist=sensor_dist)
+            tpv = jnp.ones(rays.x.shape[0], dtype)
+        elif src_type == "point":
+            rays, rpv = S.rand_ptrays_in_sphere(
+                key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+                circle=False, xaxis=False, sensor_dist=sensor_dist)
+            tpv = jnp.ones(rays.x.shape[0], dtype)
+        else:
+            rays, _, tpv, rpv = S.rand_area_in_sphere(
+                key, nviews, (nbins, nbins), samples, span, angle_span=angle_s,
+                circle=False, xaxis=False, sensor_dist=sensor_dist)
+        rays = S.Rays(rays.x.astype(dtype), rays.v.astype(dtype),
+                      rays.planes.astype(dtype), rays.mask)
+        return rays, rpv, tpv.astype(dtype)
+
+    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh)
+
+    def view_images(eta, key, samples):
+        rays, rpv, tpv = gen_start_rays(key, samples)
+        sensor_p, sensor_n, sensor_t = common.per_view_planes(rays.planes, rpv)
+        xm, vm = trace(eta, rays.x, rays.v)
+        sn = rays.planes[:, 1, :]
+        sp = rays.planes[:, 0, :]
+        xmp, vmp = sensors.trace_rays_to_plane((xm, vm), (sp, sn))
+        xs = common.split_views(xmp, rpv)
+        vs = common.split_views(vmp, rpv)
+        ms = common.split_views(rays.mask, rpv)
+        dists = common.split_views(1.0 / tpv ** 2, rpv)
+        return rays, (xs, vs, ms, dists), (sensor_p, sensor_n, sensor_t)
+
+    def loss_function(eta, key):
+        _, (xs, vs, ms, dists), (sensor_p, sensor_n, sensor_t) = \
+            view_images(eta, key, spp)
+
+        near_images = [
+            S.sum_norm(sensors.generate_sensor(
+                (xv, vv), d, (sp, sn), nbins, span, st, mask=mk))
+            for xv, vv, sp, sn, st, mk, d in zip(
+                xs, vs, sensor_p, sensor_n, sensor_t, ms, dists)]
+
+        near_loss = 0.0
+        if sdf_loss and (sdf_disp[0] is not None):
+            near_sdf = [
+                sensors.get_sdf_vals_near((xv, vv), sdi, (sp, sn), span, st)
+                for xv, vv, sdi, sp, sn, st in zip(
+                    xs, vs, sdf_disp, sensor_p, sensor_n, sensor_t)]
+            near_loss = sum((sdi ** 2).sum() / sdi.size for sdi in near_sdf)
+        elif disp_ims[0] is not None:
+            near_loss = sum(jnp.mean((im - meas) ** 2)
+                            for im, meas in zip(near_images, disp_ims)) / len(disp_ims)
+
+        far_loss = 0.0
+        if sdf_loss and (sdf_defl[0] is not None):
+            far_sdf = [
+                sensors.get_sdf_vals_far((xv, vv), sdi, (sp, sn),
+                                         far_sensor_span, st)
+                for xv, vv, sdi, sp, sn, st in zip(
+                    xs, vs, sdf_defl, sensor_p, sensor_n, sensor_t)]
+            far_loss = defl_weight * sum((sdi ** 2).sum() / sdi.size
+                                         for sdi in far_sdf)
+        elif defl_ims[0] is not None:
+            far_images = [
+                S.sum_norm(sensors.generate_inf_sensor(
+                    (xv, vv), 1.0, (sp, sn), nbins, far_sensor_span, st, mask=mk))
+                for xv, vv, sp, sn, st, mk in zip(
+                    xs, vs, sensor_p, sensor_n, sensor_t, ms)]
+            far_loss = defl_weight * sum(
+                jnp.mean((im - meas) ** 2)
+                for im, meas in zip(far_images, defl_ims))
+
+        return near_loss + far_loss
+
+    def log_function(iter_count, eta):
+        metrics.log(iter_count, res=eta.shape[0])
+        if result_dir is None or iter_count % record_iters != 0:
+            return
+        key = jax.random.PRNGKey(seed + 200_000 + iter_count)
+        _, (xs, vs, ms, dists), (sensor_p, sensor_n, sensor_t) = \
+            view_images(eta, key, spp * 2)
+        images = [
+            S.sum_norm(sensors.generate_sensor(
+                (xv, vv), d, (sp, sn), nbins, span, st, mask=mk))
+            for xv, vv, sp, sn, st, mk, d in zip(
+                xs, vs, sensor_p, sensor_n, sensor_t, ms, dists)]
+        from ..utils.plotting import save_multiple_images
+        save_multiple_images(images, f"{result_dir}/multiview_{iter_count}.png")
+
+    n0 = params.get("init")
+    if n0 is None:
+        n0 = jnp.ones((res_list[0],) * 3, dtype=dtype)
+
+    final_eta, loss_hist = multires_opt(
+        loss_function, n0, optim_iters, res_list, log_function, lr=lr,
+        statename=f"{result_dir}/result" if result_dir else None,
+        key=jax.random.PRNGKey(seed))
+
+    if result_dir is not None:
+        from ..utils.plotting import save_loss_plot
+        save_loss_plot(loss_hist, f"{result_dir}/loss_plot.png")
+    return final_eta, loss_hist
+
+
+def run_multiview_exp(result_dir="results/multiview", resolution=128,
+                      optim_iters=10, **overrides):
+    """The einstein/turing two-view experiment (image_opt.py:157-174)."""
+    from .voxel_scenes import data_path
+
+    einstein = load_image(data_path("einstein.png"), resolution)
+    turing = load_image(data_path("turing.png"), resolution)
+    params = dict(
+        disp_ims=[S.sum_norm(einstein), S.sum_norm(turing)],
+        optim_iters=optim_iters,
+        record_iters=optim_iters,
+        nbins=resolution,
+        **overrides,
+    )
+    return multires_exp(params, result_dir)
+
+
+if __name__ == "__main__":
+    run_multiview_exp()

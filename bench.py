@@ -1,0 +1,97 @@
+"""Benchmark: rays/s/chip, forward + adjoint, 128^3 grid (BASELINE.json).
+
+Runs on whatever accelerator jax exposes (the driver runs it on one real TPU
+chip).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the ratio
+is against the first recorded round's BENCH_r*.json when present (tracking
+our own progress), else 1.0.
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_case(res=128, nrays=1 << 18, span=20.0, dtype="float32"):
+    import jax
+    import jax.numpy as jnp
+
+    idx = np.arange(res) * (span / (res - 1))
+    z, y, x = np.meshgrid(idx, idx, idx, indexing="ij")
+    c = span / 2
+    r2 = (x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2
+    rif = jnp.asarray(1.0 + 0.2 * np.exp(-r2 / (2 * (span / 4) ** 2)),
+                      dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    xz = rng.uniform(0.2 * span, 0.8 * span, (nrays, 2))
+    x0 = np.stack([xz[:, 0], -0.25 * np.ones(nrays) * span / res, xz[:, 1]],
+                  axis=-1)
+    tilt = 0.08 * rng.standard_normal((nrays, 2))
+    v0 = np.stack([tilt[:, 0], np.ones(nrays), tilt[:, 1]], axis=-1)
+    v0 /= np.linalg.norm(v0, axis=-1, keepdims=True)
+    return rif, jnp.asarray(x0, dtype), jnp.asarray(v0, dtype), span
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adjointnonlinearraytracing_tpu import tracer
+
+    res = int(os.environ.get("BENCH_RES", "128"))
+    nrays = int(os.environ.get("BENCH_RAYS", str(1 << 18)))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    rif, x0, v0, span = build_case(res=res, nrays=nrays)
+    h = span / (res - 1)
+    ds = h / 2
+
+    target = jnp.asarray([span / 2, span * 1.1, span / 2], dtype=rif.dtype)
+
+    @jax.jit
+    def fwd_bwd(rif, x, v):
+        def loss(r):
+            xt, vt = tracer.trace(r, x, v, h, ds)
+            return jnp.sum((xt - target) ** 2) + jnp.sum(vt)
+
+        return jax.grad(loss)(rif)
+
+    # compile + warmup
+    g = fwd_bwd(rif, x0, v0)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = fwd_bwd(rif, x0, v0)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = nrays * iters / dt
+
+    baseline = None
+    for f in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            rec = json.load(open(f))
+            baseline = rec.get("value")
+            break
+        except Exception:
+            pass
+    vs = rays_per_sec / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": f"rays/s/chip fwd+adjoint {res}^3 grid",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

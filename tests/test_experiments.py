@@ -1,0 +1,218 @@
+"""End-to-end experiment driver tests at tiny CPU-runnable scale.
+
+Convergence checks mirror the reference's de-facto validation: losses
+decrease under multires optimization, the fuel-injection recon approaches its
+GT, the fiber profile moves toward sqrt(2 - r^2), the classical path-matrix
+baseline independently reconstructs a synthetic volume.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adjointnonlinearraytracing_tpu.experiments import (
+    config, fiber, focalstack, fuel_injection, image, luneburg, voxel_scenes)
+from adjointnonlinearraytracing_tpu.sources import sources as S
+
+
+class TestLuneburg:
+    def test_loss_decreases(self):
+        params = dict(res_list=[5, 9], vol_span=20, spp=1, nbins=12,
+                      optim_iters=6, record_iters=1000, lr=1e-2, seed=0)
+        eta, hist = luneburg.run_opt(params)
+        assert hist[-1] < hist[0] * 0.8
+        assert eta.shape == (9, 9, 9)
+        assert float(eta.min()) >= 1.0  # clamp projection
+
+    def test_autodiff_toggle(self):
+        params = dict(res_list=[5], vol_span=20, spp=1, nbins=8,
+                      optim_iters=2, record_iters=1000, lr=1e-2, seed=0,
+                      autodiff=True)
+        eta, hist = luneburg.run_opt(params)
+        assert np.isfinite(hist).all()
+
+    def test_mesh_toggle(self):
+        params = dict(res_list=[5], vol_span=20, spp=1, nbins=8,
+                      optim_iters=2, record_iters=1000, lr=1e-2, seed=0,
+                      mesh=True)
+        eta, hist = luneburg.run_opt(params)
+        assert np.isfinite(hist).all()
+
+
+class TestFuelInjection:
+    def test_recovers_synthetic(self):
+        gt = voxel_scenes.gaussian_bump(9, 1.0, amp=0.003)
+        params = dict(res_list=[5, 9], vol_span=1.0, spp=1, nviews=4,
+                      nbins=10, optim_iters=12, record_iters=1000, lr=2e-3,
+                      fuel_val=0.003, seed=0)
+        eta, hist, _ = fuel_injection.run_opt(params, gtruth=gt)
+        assert hist[-1] < hist[0] * 0.5
+        err = fuel_injection.reconstruction_error(eta, gt)
+        assert np.isfinite(err["rel_norm"])
+
+    def test_real_volume_loads(self):
+        gt = voxel_scenes.fuel_injection_rif()
+        assert gt.shape == (65, 65, 65)
+        assert 0.999 <= float(gt.min()) and float(gt.max()) <= 1.001
+
+
+class TestImage:
+    def test_loss_decreases(self):
+        tgt = S.sum_norm(jnp.ones((8, 8)))
+        params = dict(disp_ims=[tgt], res_list=[5, 9], vol_span=10, spp=1,
+                      nbins=8, optim_iters=4, lr=5e-3, seed=0)
+        eta, hist = image.multires_exp(params)
+        assert hist[-1] <= hist[0]
+
+    def test_two_view(self):
+        t1 = S.sum_norm(jnp.ones((6, 6)))
+        t2 = S.sum_norm(1.0 + jnp.linspace(0, 1, 36).reshape(6, 6))
+        params = dict(disp_ims=[t1, t2], res_list=[5], vol_span=10, spp=1,
+                      nbins=6, optim_iters=2, lr=1e-3, seed=0)
+        eta, hist = image.multires_exp(params)
+        assert np.isfinite(hist).all()
+
+
+class TestFiber:
+    def test_loss_decreases(self):
+        params = dict(res_list=[5, 9], cable_length=5.0, cable_radius=1.0,
+                      camera_span=0.1, sensor_distance=1.57,
+                      hop_distance=3.14, nbins=6, spp=1, optim_iters=6,
+                      record_iters=1000, lr=1e-2, seed=0)
+        n, hist = fiber.multires_exp(params)
+        assert n.shape == (9,)
+        assert hist[-1] < hist[0]
+
+    def test_moves_toward_ground_truth(self):
+        gt = fiber.ground_truth(9)
+        params = dict(res_list=[9], cable_length=5.0, cable_radius=1.0,
+                      camera_span=0.1, sensor_distance=1.57,
+                      hop_distance=3.14, nbins=8, spp=1, optim_iters=25,
+                      record_iters=1000, lr=2e-2, seed=0)
+        n, hist = fiber.multires_exp(params)
+        # closer to the GT profile than the flat start
+        d_start = float(jnp.abs(jnp.ones(9) - gt).mean())
+        d_end = float(jnp.abs(n - gt).mean())
+        assert d_end < d_start
+
+
+class TestFocalStack:
+    def test_loss_decreases(self):
+        scene = voxel_scenes.gaussian_bump(9, 10.0, amp=0.2)
+        src_im = jnp.ones((8, 8))
+        p = dict(res_list=[5, 9], vol_span=10.0, spp=1, nbins=8,
+                 optim_iters=4, sensor_dists=[1.0, 3.0], source_image=src_im,
+                 source_type="cone", lr=2e-3, seed=0)
+        p["focal_stack"] = focalstack.make_synthetic_stack(scene, p)
+        eta, hist = focalstack.multires_exp(p)
+        assert hist[-1] < hist[0]
+
+
+class TestPathMatrix:
+    def test_reconstruction(self):
+        from adjointnonlinearraytracing_tpu.pathmatrix import fuel_reconstruction
+
+        gt = voxel_scenes.gaussian_bump(17, 1.0, amp=0.0005).astype(jnp.float64)
+        recon, rep = fuel_reconstruction(
+            gt, dict(nviews=16, nbins=24, spp=2, int_res=100))
+        assert rep["rel_err_norm"] < 0.5
+        assert rep["num_rays"] > 0
+
+    def test_path_matrix_row_sums(self):
+        """Per-ray path lengths through the grid sum to the chord length."""
+        from adjointnonlinearraytracing_tpu.pathmatrix import path_matrix as PM
+
+        sp = np.array([[0.05, 0.5, 0.5], [0.5, 0.05, 0.5]])
+        ep = np.array([[0.95, 0.5, 0.5], [0.5, 0.95, 0.5]])
+        v = np.array([[1.0, 0, 0], [0, 1.0, 0]])
+        phi = PM.construct_voxel_matrix(sp, v, ep, v, 1.0, 8,
+                                        spline="linear", int_res=64)
+        rowsum = np.asarray(phi.sum(axis=1)).ravel()
+        np.testing.assert_allclose(rowsum, 0.9, rtol=1e-6)
+
+    def test_diff_matrices(self):
+        from adjointnonlinearraytracing_tpu.pathmatrix import path_matrix as PM
+
+        diffs = PM.construct_diff_matrices(4, 1.0, 3)
+        assert len(diffs) == 3
+        # a linear ramp in x has constant finite difference along axis 0
+        x = np.arange(4)
+        vol = np.tile(x, (4, 4, 1)).transpose(2, 1, 0)  # vol[ix,iy,iz] = ix
+        flat = vol.reshape(-1, order="F")
+        g = diffs[0] @ flat
+        box = 1.0 / 4
+        inner = g[np.abs(g) > 1e-12]
+        np.testing.assert_allclose(inner, 1.0 / box, rtol=1e-9)
+
+
+class TestConfig:
+    def test_default_override(self, tmp_path):
+        y = tmp_path / "p.yaml"
+        y.write_text("""
+default:
+  lr: 0.1
+  res_list: [3, 5]
+  nested:
+    a: 1
+    b: 2
+exp1:
+  lr: 0.5
+  nested:
+    b: 3
+""")
+        p = config.load_params(str(y), "exp1")
+        assert p["lr"] == 0.5
+        assert p["res_list"] == [3, 5]
+        assert p["nested"] == {"a": 1, "b": 3}
+        assert p["exp_name"] == "exp1"
+        assert config.experiment_names(str(y)) == ["exp1"]
+
+    def test_reference_yaml_schema(self, tmp_path):
+        """The shipped reference YAML schema (default + named sections) loads."""
+        y = tmp_path / "params-fiber.yaml"
+        y.write_text("""
+default:
+  res_list: [3, 5, 9]
+  lr: 0.0001
+  autodiff: False
+hop2opt-lr1e-2-uniinit:
+  sensor_distance: 1.57
+  lr: 0.01
+""")
+        p = config.load_params(str(y), "hop2opt-lr1e-2-uniinit")
+        assert p["lr"] == 0.01
+        assert p["autodiff"] is False
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        import optax
+        from adjointnonlinearraytracing_tpu.opt import (
+            load_checkpoint, save_checkpoint)
+
+        n = jnp.arange(8.0).reshape(2, 2, 2)
+        opt = optax.adam(1e-3)
+        state = opt.init(n)
+        # take one update so moments are non-trivial
+        g = jnp.ones_like(n)
+        _, state = opt.update(g, state, n)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, n, state, [1.0, 0.5], jax.random.PRNGKey(3))
+        n2, opt2, state2, hist, key = load_checkpoint(path, 1e-3)
+        np.testing.assert_allclose(n2, n)
+        assert hist == [1.0, 0.5]
+
+    def test_moment_upsampling(self):
+        import optax
+        from adjointnonlinearraytracing_tpu.opt import upres_adam_state
+
+        state = optax.ScaleByAdamState(
+            count=jnp.asarray(5),
+            mu=jnp.ones((3, 3, 3)),
+            nu=2 * jnp.ones((3, 3, 3)))
+        up = upres_adam_state(state, 5)
+        assert up.mu.shape == (5, 5, 5)
+        np.testing.assert_allclose(up.mu, 1.0, atol=1e-6)
+        np.testing.assert_allclose(up.nu, 2.0, atol=1e-6)
+        assert int(up.count) == 5
