@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields.grid import GridField
 from ..tracer import eikonal as E
+from ..tracer import fast as F
 
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -86,7 +87,7 @@ def make_sharded_trace(mesh: Mesh, h: float, ds: float, res_max: int):
     ray_spec = P("rays", None)
 
     def _fwd_local(rif, x, v):
-        return E.trace(GridField(rif, h), x, v, ds, steps_f)
+        return F.trace(GridField(rif, h), x, v, ds, steps_f)
 
     fwd_sharded = shard_map(
         _fwd_local, mesh=mesh,
@@ -95,7 +96,7 @@ def make_sharded_trace(mesh: Mesh, h: float, ds: float, res_max: int):
     )
 
     def _bwd_local(rif, xt, vt, dxt, dvt):
-        g = E.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
+        g = F.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
                         axis_name="rays")
         return jax.lax.psum(g, "rays")
 
@@ -130,7 +131,7 @@ def make_sharded_trace_plane(mesh: Mesh, h: float, ds: float, res_max: int):
     ray_spec = P("rays", None)
 
     def _fwd_local(rif, x, v, po, pd):
-        return E.trace_plane(GridField(rif, h), x, v, po, pd, ds, steps_f)
+        return F.trace_plane(GridField(rif, h), x, v, po, pd, ds, steps_f)
 
     fwd_sharded = shard_map(
         _fwd_local, mesh=mesh,
@@ -139,7 +140,7 @@ def make_sharded_trace_plane(mesh: Mesh, h: float, ds: float, res_max: int):
     )
 
     def _bwd_local(rif, xt, vt, dxt, dvt):
-        g = E.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
+        g = F.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
                         axis_name="rays")
         return jax.lax.psum(g, "rays")
 

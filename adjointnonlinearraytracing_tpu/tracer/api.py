@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..fields.grid import GridField
 from ..fields.cylinder import CylinderField
 from . import eikonal as E
+from . import fast as F
 
 
 def _grid(rif, h):
@@ -49,18 +50,18 @@ def trace(rif, x, v, h, ds):
     Returns exit state (xt, vt).  d(loss)/d(rif) is computed by the
     constant-memory adjoint (BackTracerC, core/tracer.py:294-335).
     """
-    return E.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
+    return F.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
 
 
 def _trace_fwd(rif, x, v, h, ds):
-    out = E.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
+    out = F.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
     return out, (rif, out[0], out[1])
 
 
 def _trace_bwd(h, ds, res, cts):
     rif, xt, vt = res
     dxt, dvt = cts
-    g = E.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    g = F.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
     return g.reshape(rif.shape), jnp.zeros_like(xt), jnp.zeros_like(vt)
 
 
@@ -78,12 +79,12 @@ def trace_plane(rif, x, v, pln_o, pln_d, h, ds):
     ``miss`` marks rays that never exited; their position cotangent is zeroed
     in the backward pass (core/tracer.py:366-371).
     """
-    return E.trace_plane(_grid(rif, h), x, v, pln_o, pln_d, ds,
+    return F.trace_plane(_grid(rif, h), x, v, pln_o, pln_d, ds,
                          _steps_fwd(rif, h, ds))
 
 
 def _trace_plane_fwd(rif, x, v, pln_o, pln_d, h, ds):
-    out = E.trace_plane(_grid(rif, h), x, v, pln_o, pln_d, ds,
+    out = F.trace_plane(_grid(rif, h), x, v, pln_o, pln_d, ds,
                         _steps_fwd(rif, h, ds))
     xt, vt, miss = out
     return out, (rif, xt, vt, miss)
@@ -93,7 +94,7 @@ def _trace_plane_bwd(h, ds, res, cts):
     rif, xt, vt, miss = res
     dxt, dvt, _ = cts
     dxt = jnp.where(miss[:, None], 0.0, dxt)
-    g = E.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    g = F.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
     zeros3 = jnp.zeros_like(xt)
     return (g.reshape(rif.shape), zeros3, zeros3,
             jnp.zeros_like(xt), jnp.zeros_like(xt))
@@ -110,12 +111,12 @@ trace_plane.defvjp(_trace_plane_fwd, _trace_plane_bwd)
 def trace_target(rif, x, v, target, h, ds):
     """Trace recording closest approach to per-ray targets; returns
     (xt, vt, dist2).  dist2 carries no gradient (core/tracer.py:415-432)."""
-    return E.trace_target(_grid(rif, h), x, v, target, ds,
+    return F.trace_target(_grid(rif, h), x, v, target, ds,
                           _steps_fwd(rif, h, ds))
 
 
 def _trace_target_fwd(rif, x, v, target, h, ds):
-    out = E.trace_target(_grid(rif, h), x, v, target, ds, _steps_fwd(rif, h, ds))
+    out = F.trace_target(_grid(rif, h), x, v, target, ds, _steps_fwd(rif, h, ds))
     xt, vt, d2 = out
     return out, (rif, xt, vt)
 
@@ -123,7 +124,7 @@ def _trace_target_fwd(rif, x, v, target, h, ds):
 def _trace_target_bwd(h, ds, res, cts):
     rif, xt, vt = res
     dxt, dvt, _ = cts
-    g = E.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    g = F.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
     zeros3 = jnp.zeros_like(xt)
     return g.reshape(rif.shape), zeros3, zeros3, zeros3
 
@@ -142,19 +143,19 @@ def trace_sdf(rif, sdf, x, v, h, ds):
     Only rif receives a gradient; the sdf grid cotangent is zero
     (core/tracer.py:461-479)."""
     steps = int(2.0 * h * max(rif.shape) / ds)  # tracer.cpp:262
-    return E.trace_sdf(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
+    return F.trace_sdf(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
 
 
 def _trace_sdf_fwd(rif, sdf, x, v, h, ds):
     steps = int(2.0 * h * max(rif.shape) / ds)
-    out = E.trace_sdf(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
+    out = F.trace_sdf(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
     return out, (rif, sdf, out[0], out[1])
 
 
 def _trace_sdf_bwd(h, ds, res, cts):
     rif, sdf, xt, vt = res
     dxt, dvt = cts
-    g = E.backtrace_sdf(_grid(rif, h), _grid(sdf, h), xt, vt, dxt, dvt, ds,
+    g = F.backtrace_sdf(_grid(rif, h), _grid(sdf, h), xt, vt, dxt, dvt, ds,
                         _steps_bwd(rif, h, ds))
     zeros3 = jnp.zeros_like(xt)
     return g.reshape(rif.shape), jnp.zeros_like(sdf), zeros3, zeros3

@@ -295,8 +295,9 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
     def body(s):
         step, x, v, la, mu, active, outside, g = s
         x = x - ds * v
-        n, nx = G.eval_grad(field, x, active)
-        hess = G.eval_hess(field, x, active)
+        emask = active & G.inbounds(field, x)
+        n, nx = G.eval_grad(field, x, emask)
+        hess = G.eval_hess(field, x, emask)
         v = v - (ds * n)[:, None] * nx
 
         dist, _ = G.eval_grad(sdf, x, active)
@@ -307,7 +308,7 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
-        g = G.scatter_into(g, field, x, dn * ds, dnx * ds, active)
+        g = G.scatter_into(g, field, x, dn * ds, dnx * ds, active & emask)
 
         la = la + ds * (dn[:, None] * nx + n[:, None] * G.hess_matvec(hess, mu))
         mu = mu + ds * la
