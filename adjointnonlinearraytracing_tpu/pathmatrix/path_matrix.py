@@ -79,6 +79,21 @@ def construct_voxel_matrix(spos, sdir, epos, edir, dim, res, spline="linear",
     num_rays, dimension = spos.shape
 
     if spline == "linear":
+        # native single-pass marcher when the toolchain is available
+        from ..native.loader import accumulate_linear_paths
+
+        box_dim = dim / max(1, res)
+        native = accumulate_linear_paths(
+            np.asarray(spos, np.float64), np.asarray(epos, np.float64),
+            box_dim, res, int_res)
+        if native is not None:
+            data, row, col = native
+            phi = coo_matrix((data, (row, col)),
+                             shape=(num_rays, res ** dimension)).tocsr()
+            phi.sum_duplicates()
+            return phi
+
+    if spline == "linear":
         spline_func = get_linear_path
     elif spline == "hermite":
         spline_func = get_hermite_path
