@@ -48,7 +48,7 @@ def luneburg_lens(res: int, span: float, dtype=jnp.float32):
     z, y, x = np.meshgrid(idx, idx, idx, indexing="ij")
     c = span / 2
     r2 = ((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) / (c ** 2)
-    n = np.where(r2 <= 1.0, np.sqrt(2.0 - r2), 1.0)
+    n = np.where(r2 <= 1.0, np.sqrt(np.clip(2.0 - r2, 0.0, None)), 1.0)
     return jnp.asarray(n, dtype=dtype)
 
 

@@ -20,7 +20,10 @@ from .cylinder import (
     upres_profile,
     upres_profile_midpoint,
 )
-from .rbf import RbfGrid, rbf_tent, rbf_cubic
+from .rbf import RbfGrid, rbf_tent, rbf_cubic, render_gradient
+from .cells import CellField, build_cell_table
+from .sdf_utils import get_pts_sdf, get_opp_pts
+from .cylinder import cyl_render, cyl_render2
 
 __all__ = [
     "GridField", "eval_grad", "eval_hess", "hess_matvec", "splat",

@@ -170,3 +170,27 @@ def upres_profile_midpoint(n: jax.Array) -> jax.Array:
     out = out.at[::2].set(n)
     out = out.at[1::2].set(tween)
     return out
+
+
+def cyl_render(field: CylinderField, res):
+    """Sample the radial profile onto a 3D voxel image (cable.py:25-37)."""
+    rx = jnp.linspace(0.0, 2 * field.radius, res[0])
+    ry = jnp.linspace(0.0, field.length, res[1])
+    rz = jnp.linspace(0.0, 2 * field.radius, res[2])
+    X = jnp.meshgrid(rx, ry, rz, indexing="ij")
+    pos = jnp.stack([x.reshape(-1) for x in X], axis=-1)
+    n, _ = cyl_eval_grad(field, pos)
+    return n.reshape(tuple(res))
+
+
+def cyl_render2(field: CylinderField, res):
+    """Axial 2D slice through the cylinder center (cable.py:39-58)."""
+    if isinstance(res, int):
+        res = (res, res)
+    rx = jnp.linspace(0.0, 2 * field.radius, res[0])
+    ry = jnp.linspace(0.0, field.length, res[1])
+    X = jnp.meshgrid(rx, ry, indexing="ij")
+    pos = jnp.stack([X[0].reshape(-1), X[1].reshape(-1),
+                     jnp.ones(res[0] * res[1]) * field.radius], axis=-1)
+    n, _ = cyl_eval_grad(field, pos)
+    return n.reshape(tuple(res))

@@ -303,3 +303,18 @@ def get_spline(grid: RbfGrid, x: jax.Array):
                 wd = wd * w_ind[other]
         fx.append(jnp.einsum("cn,cn->n", fi, wd))
     return f, jnp.stack(fx, axis=-1) / grid.h
+
+
+def render_gradient(grid: RbfGrid, linear: bool = False):
+    """Gradient field sampled at every grid node (core/grid.py:66-74)."""
+    import numpy as np
+
+    axes = [grid.h * jnp.arange(r, dtype=grid.scene.dtype)
+            for r in grid.scene.shape]
+    mesh = jnp.meshgrid(*axes, indexing="ij")
+    z = jnp.stack([m.reshape(-1) for m in mesh], axis=-1)
+    if linear:
+        f, fx = get_linear(grid, z)
+    else:
+        f, fx = get(grid, z)
+    return fx.reshape(*grid.scene.shape, grid.scene.ndim)

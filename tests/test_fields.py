@@ -299,3 +299,60 @@ class TestCylinder:
         n = jnp.array([1.0, 2.0, 4.0])
         out = upres_profile_midpoint(n)
         np.testing.assert_allclose(out, [1.0, 1.5, 2.0, 3.0, 4.0])
+
+
+class TestSdfUtils:
+    def test_get_pts_sdf_projects_to_surface(self):
+        import numpy as np
+        from adjointnonlinearraytracing_tpu.fields import get_pts_sdf
+
+        res, width = 17, 2.0
+        h = width / (res - 1)
+        idx = np.arange(res) * h
+        z, y, x = np.meshgrid(idx, idx, idx, indexing="ij")
+        # voxel-unit sdf (reference convention, grid.py:338)
+        sdf = jnp.asarray(
+            (np.sqrt((x - 1) ** 2 + (y - 1) ** 2 + (z - 1) ** 2) - 0.7) / h)
+        pos, vel = get_pts_sdf(jax.random.PRNGKey(0), sdf, 128, width)
+        r = jnp.linalg.norm(pos - 1.0, axis=-1)
+        assert float((jnp.abs(r - 0.7) < 0.05).mean()) > 0.95
+        # vel points inward
+        inward = jnp.einsum("nd,nd->n", vel, (1.0 - pos))
+        assert float((inward > 0).mean()) > 0.95
+
+    def test_get_opp_pts_crosses(self):
+        import numpy as np
+        from adjointnonlinearraytracing_tpu.fields import get_opp_pts
+
+        res, width = 17, 2.0
+        h = width / (res - 1)
+        idx = np.arange(res) * h
+        z, y, x = np.meshgrid(idx, idx, idx, indexing="ij")
+        sdf = jnp.asarray(
+            np.sqrt((x - 1) ** 2 + (y - 1) ** 2 + (z - 1) ** 2) - 0.7)
+        pts = jnp.array([[1.0, 0.35, 1.0]])  # inside, near bottom of sphere
+        v = jnp.array([[0.0, 1.0, 0.0]])
+        out = get_opp_pts(sdf, pts, v, width)
+        # exits through the top: y > center
+        assert float(out[0, 1]) > 1.0
+
+
+class TestRenderHelpers:
+    def test_render_gradient_shape(self):
+        from adjointnonlinearraytracing_tpu.fields import RbfGrid, render_gradient
+
+        g = render_gradient(RbfGrid.create(jnp.ones((5, 5)), 1.0))
+        assert g.shape == (5, 5, 2)
+
+    def test_cyl_render(self):
+        from adjointnonlinearraytracing_tpu.fields import (CylinderField,
+                                                           cyl_render,
+                                                           cyl_render2)
+
+        f = CylinderField(jnp.linspace(1.5, 1.0, 9), 1.0, 4.0)
+        vol = cyl_render(f, (6, 6, 6))
+        assert vol.shape == (6, 6, 6)
+        im = cyl_render2(f, 8)
+        assert im.shape == (8, 8)
+        # center of the slice is on the cylinder axis -> peak index
+        assert float(im[4, 0]) > float(im[0, 0])
