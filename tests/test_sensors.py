@@ -207,3 +207,36 @@ class TestTextureLosses:
         n = jnp.array([[0.0, 1.0, 0.0]])
         _, vout = sensors.refract((x, v), (p, n), etai=1.0)
         np.testing.assert_allclose(vout, v, atol=1e-12)
+
+
+class TestCompat:
+    """Reference-style class wrappers behave like the functional core."""
+
+    def test_grid_wrapper(self):
+        from adjointnonlinearraytracing_tpu.compat import Grid
+
+        g = Grid(jnp.zeros((16, 16)), 0.5)
+        x = jnp.array([[3.2, 4.1], [1.5, 2.5]])
+        g.Splat(x, jnp.ones(2), average=False)
+        np.testing.assert_allclose(g.scene.sum(), 2.0, rtol=1e-6)
+        f, fx = g.GetLinear(x)
+        assert f.shape == (2,)
+
+    def test_cable_wrapper(self):
+        from adjointnonlinearraytracing_tpu.compat import Cable
+
+        c = Cable(jnp.linspace(1.5, 1.0, 9), 1.0, 4.0)
+        x = jnp.array([[1.0, 2.0, 1.3]])
+        f, fx = c.GetLinear(x)
+        assert float(f[0]) > 1.0
+        assert c.render2(8).shape == (8, 8)
+
+    def test_tracer_aliases(self):
+        from adjointnonlinearraytracing_tpu import compat
+
+        rif = jnp.ones((5, 5, 5))
+        x = jnp.array([[2.0, -0.5, 2.0]])
+        v = jnp.array([[0.0, 1.0, 0.0]])
+        xt1, vt1 = compat.BackTracerC(rif, x, v, 1.0, 0.5)
+        xt2, vt2 = compat.ADTracerC(rif, x, v, 1.0, 0.5)
+        np.testing.assert_allclose(xt1, xt2, atol=1e-12)
