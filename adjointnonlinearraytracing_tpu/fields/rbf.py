@@ -93,7 +93,14 @@ def _index_values(grid: RbfGrid, x: jax.Array):
     dx = norm_x[None, :, :] - idx_stack.astype(norm_x.dtype)  # (C, N, D)
     dx = jnp.swapaxes(dx, 0, 1)  # (N, C, D)
 
-    r = jnp.linalg.norm(dx, axis=-1)  # (N, C)
+    # NaN-safe norm: d(sqrt(x))/dx at 0 is inf and poisons the splat VJP
+    # when a query lands exactly on a grid node (sensor-image losses
+    # differentiate through this); guard the sqrt so value AND gradient are
+    # exact (0) at r == 0.
+    sq = jnp.sum(dx * dx, axis=-1)  # (N, C)
+    zero = sq <= 0.0
+    r = jnp.sqrt(jnp.where(zero, 1.0, sq))
+    r = jnp.where(zero, 0.0, r)
     r0 = jnp.where(jnp.isclose(r, 0.0), 1.0, r)
     dx_nm = dx / r0[:, :, None]
     return fi, r, dx_nm, idx
@@ -157,7 +164,9 @@ def splat(grid: RbfGrid, x: jax.Array, f: jax.Array, average: bool = True,
 
 def splat_grad(grid: RbfGrid, x: jax.Array, f: jax.Array, fx: jax.Array) -> RbfGrid:
     """Value+gradient splat via 3 offset value-splats (core/grid.py:153-164)."""
-    r = jnp.linalg.norm(fx, axis=-1)
+    sq = jnp.sum(fx * fx, axis=-1)
+    r = jnp.sqrt(jnp.where(sq <= 0.0, 1.0, sq))
+    r = jnp.where(sq <= 0.0, 0.0, r)
     r0 = jnp.where(jnp.isclose(r, 0.0), 1.0, r)
     dx = grid.h * (fx / r0[:, None])
     ff = grid.h * (f + r)

@@ -83,11 +83,15 @@ def multires_opt(
     freeze_boundary: bool = True,
     lr_decay: float = 0.5,
     save_fn: Optional[Callable] = None,
+    resume_from: Optional[str] = None,
 ) -> Tuple[jax.Array, List[float]]:
     """Run the multi-resolution Adam loop (optimizer.py:44-84).
 
     ``loss_fn(n, key) -> scalar`` is evaluated with a fresh PRNG key per
-    iteration.  Returns (final_field, loss_history).
+    iteration.  ``resume_from`` restores a checkpoint written by
+    :func:`save_checkpoint` — the ladder continues from the checkpoint's
+    resolution (stages coarser than it are skipped); the reference saved but
+    never loaded (SURVEY.md section 5).  Returns (final_field, loss_history).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -100,7 +104,23 @@ def multires_opt(
     opt = optax.adam(stage_lr)
     opt_state = opt.init(n)
 
-    for res_iter in range(len(res_list)):
+    start_stage = 0
+    if resume_from is not None:
+        # continue at the checkpoint's resolution stage with its stage lr
+        n, _, opt_state, loss_hist, key = load_checkpoint(resume_from, lr)
+        iteration_count = len(loss_hist)
+        matching = [i for i, r in enumerate(res_list) if r >= n.shape[0]]
+        start_stage = matching[0] if matching else len(res_list) - 1
+        stage_lr = (lr_decay ** max(start_stage - 1, 0)) * lr if start_stage \
+            else lr
+        opt = optax.adam(stage_lr)
+        fresh = opt.init(n)
+        i_old, adam_old = _find_adam_state(opt_state)
+        i_new, _ = _find_adam_state(fresh)
+        opt_state = tuple(adam_old if i == i_new else s
+                          for i, s in enumerate(fresh))
+
+    for res_iter in range(start_stage, len(res_list)):
         mask = boundary_interior_mask(n.shape) if freeze_boundary else None
 
         @jax.jit

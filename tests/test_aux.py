@@ -116,3 +116,34 @@ class TestGolden:
         checksum = float(jnp.sum(g * jnp.arange(g.size).reshape(g.shape)))
         golden = 7835.409837227282
         assert abs(checksum - golden) < 1e-6, checksum
+
+
+class TestDeterminism:
+    """Voxel-gradient accumulation is deterministic by construction (XLA
+    scatter, no atomics) — stronger than the reference's CUDA atomics
+    (SURVEY.md section 5)."""
+
+    def test_backtrace_bitwise_deterministic(self):
+        from adjointnonlinearraytracing_tpu import tracer
+        from tests.test_tracer import bump_field, entry_rays
+
+        rif = bump_field(9, 1.0, amp=0.25)
+        x, v = entry_rays(32, 9, 1.0, seed=5)
+
+        def loss(r):
+            xt, vt = tracer.trace(r, x, v, 1.0, 0.5)
+            return jnp.sum(xt ** 2)
+
+        g1 = jax.jit(jax.grad(loss))(rif)
+        g2 = jax.jit(jax.grad(loss))(rif)
+        assert bool((np.asarray(g1) == np.asarray(g2)).all())
+
+
+class TestScaling:
+    def test_weak_scaling_runs(self):
+        from adjointnonlinearraytracing_tpu.benchmarks import scaling
+
+        rows = scaling.profile_scaling(res=9, rays_per_device=256, iters=1)
+        assert rows[0]["devices"] == 1
+        assert rows[-1]["devices"] == 8
+        assert all(r["rays_per_s"] > 0 for r in rows)

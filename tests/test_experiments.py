@@ -216,3 +216,29 @@ class TestCheckpoint:
         np.testing.assert_allclose(up.mu, 1.0, atol=1e-6)
         np.testing.assert_allclose(up.nu, 2.0, atol=1e-6)
         assert int(up.count) == 5
+
+
+class TestResume:
+    def test_multires_resume_continues(self, tmp_path):
+        """Kill-and-resume: the second half continues from the checkpoint."""
+        from adjointnonlinearraytracing_tpu.opt import multires_opt
+        from adjointnonlinearraytracing_tpu import tracer
+        from tests.test_tracer import bump_field, entry_rays
+
+        x, v = entry_rays(16, 9, 1.0, seed=9)
+        target = jnp.array([4.0, 10.0, 4.0])
+
+        def loss_fn(n, key):
+            h = 8.0 / (n.shape[0] - 1)
+            xt, vt = tracer.trace(n, x, v, h, 0.5)
+            return jnp.sum((xt - target) ** 2) / 16
+
+        ck = str(tmp_path / "ck")
+        n1, h1 = multires_opt(loss_fn, jnp.ones((5, 5, 5)), 3, [5, 9],
+                              lr=1e-2, statename=ck)
+        # resume from the stage-2 checkpoint; should skip stage 1 (res 5)
+        n2, h2 = multires_opt(loss_fn, jnp.ones((5, 5, 5)), 3, [5, 9],
+                              lr=1e-2, resume_from=ck + ".npz")
+        assert n2.shape == (9, 9, 9)
+        assert len(h2) > len(h1)
+        assert np.isfinite(h2).all()
