@@ -27,11 +27,15 @@ import jax.numpy as jnp
 
 from .fields import cylinder as C
 from .fields import rbf
-from .tracer import (trace, trace_ad, trace_cable, trace_plane,  # noqa: F401
-                     trace_sdf, trace_target)
+from .tracer import (trace, trace_ad, trace_cable, trace_cable_ad,  # noqa: F401
+                     trace_plane, trace_plane_ad, trace_sdf, trace_sdf_ad,
+                     trace_target)
 
 # reference-class-name aliases (apply-style call signatures)
 ADTracerC = trace_ad
+ADPlaneTracerC = trace_plane_ad
+ADSDFTracerC = trace_sdf_ad
+ADCableTracerC = trace_cable_ad
 BackTracerC = trace
 BackPlaneTracerC = trace_plane
 BackTargetTracerC = trace_target

@@ -283,3 +283,22 @@ def upres_volume(n: jax.Array, new_res) -> jax.Array:
             w = w * (frac[:, ax] if b else (1.0 - frac[:, ax]))
         out = out + w * flat[idx]
     return out.reshape(new_res)
+
+
+def snap_to_nodes(p: jax.Array, h, tol=None) -> jax.Array:
+    """Snap coordinates lying within ``tol`` cells of a grid node onto it.
+
+    Used by the adjoint reverse sweeps: re-integrated positions drift by
+    O(eps) per step, and a forward position that lay *exactly* on a cell
+    boundary (deterministic sources start on grid faces) can be reconstructed
+    at -eps — flipping `inbounds`/`escaped` and silently dropping that step's
+    gradient contribution.  Snapping restores the forward's cell assignment
+    and masks; genuine positions move by at most tol*h (weight perturbation
+    <= tol).  tol defaults per dtype: 1e-9 cells (f64), 1e-3 cells (f32).
+    """
+    pm = p / h
+    if tol is None:
+        tol = 1e-9 if pm.dtype == jnp.float64 else 1e-3
+    r = jnp.round(pm)
+    pm = jnp.where(jnp.abs(pm - r) <= tol, r, pm)
+    return pm * h

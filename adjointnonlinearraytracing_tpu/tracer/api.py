@@ -12,6 +12,13 @@ receives a gradient; ray inputs, planes/targets, and step sizes get zero
 cotangents.  `h` and `ds` are static Python floats (non-differentiable, like
 the reference).  `trace_plane`'s backward zeroes the position cotangent of
 rays that missed the plane (core/tracer.py:366-371).
+
+Precision note: the constant-memory adjoint re-integrates trajectories in
+reverse; at float32 the reconstruction drifts on *rough* (high-curvature)
+index fields and gradient error grows with field roughness (smooth physical
+fields stay within ~0.1% of autodiff; a 10%-noise random field can deviate
+tens of percent — the f32 CUDA reference behaves identically).  Use float64
+inputs or the `*_ad` tape variants when optimizing non-smooth fields.
 """
 
 from __future__ import annotations
@@ -25,6 +32,19 @@ from ..fields.grid import GridField
 from ..fields.cylinder import CylinderField
 from . import eikonal as E
 from . import fast as F
+
+
+def _check_rays(x, v, name="trace"):
+    if x.ndim != 2 or x.shape[-1] != 3:
+        raise ValueError(f"{name}: x must be (N, 3), got {x.shape}")
+    if v.shape != x.shape:
+        raise ValueError(f"{name}: v{v.shape} must match x{x.shape}")
+
+
+def _check_rif(rif, name="trace"):
+    if rif.ndim != 3:
+        raise ValueError(
+            f"{name}: rif must be a 3D voxel grid, got shape {rif.shape}")
 
 
 def _grid(rif, h):
@@ -50,6 +70,7 @@ def trace(rif, x, v, h, ds):
     Returns exit state (xt, vt).  d(loss)/d(rif) is computed by the
     constant-memory adjoint (BackTracerC, core/tracer.py:294-335).
     """
+    _check_rif(rif); _check_rays(x, v)
     return F.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
 
 
@@ -205,3 +226,22 @@ def trace_ad(rif, x, v, h, ds):
     """ADTracerC analog: the same forward, differentiable with plain jax.grad
     through `lax.scan` (O(steps) memory).  Used to validate `trace`'s adjoint."""
     return E.trace_scan(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
+
+
+def trace_plane_ad(rif, x, v, pln_o, pln_d, h, ds):
+    """ADPlaneTracerC analog: plane trace differentiable via plain autodiff."""
+    return E.trace_plane_scan(_grid(rif, h), x, v, pln_o, pln_d, ds,
+                              _steps_fwd(rif, h, ds))
+
+
+def trace_sdf_ad(rif, sdf, x, v, h, ds):
+    """ADSDFTracerC analog."""
+    steps = int(2.0 * h * max(rif.shape) / ds)
+    return E.trace_sdf_scan(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
+
+
+def trace_cable_ad(rif, radius, length, x, v, target, ds):
+    """ADCableTracerC analog."""
+    steps = int(4.0 * length / ds)
+    return E.trace_cable_scan(CylinderField(rif, radius, length), x, v,
+                              target, ds, steps)

@@ -255,16 +255,20 @@ def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
         # makes the reverse sweep an exact inverse of the forward even for
         # rays that graze outside the grid mid-trajectory, and the adjoint
         # gradient matches the autodiff-tape gradient (see tests/test_tracer).
-        emask = active & G.inbounds(field, x)
-        n, nx = G.eval_grad(field, x, emask)
-        hess = G.eval_hess(field, x, emask)
+        # Positions are snapped back onto eps-drifted cell boundaries so that
+        # forward evals that happened exactly on a boundary are reproduced
+        # (fields.grid.snap_to_nodes).
+        xe = G.snap_to_nodes(x, field.h)
+        emask = active & G.inbounds(field, xe)
+        n, nx = G.eval_grad(field, xe, emask)
+        hess = G.eval_hess(field, xe, emask)
         v = v - (ds * n)[:, None] * nx
 
-        active = active & ~G.escaped(field, x, -v)
+        active = active & ~G.escaped(field, xe, -v)
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
-        g = G.scatter_into(g, field, x, dn * ds, dnx * ds, active & emask)
+        g = G.scatter_into(g, field, xe, dn * ds, dnx * ds, active & emask)
 
         la = la + ds * (dn[:, None] * nx + n[:, None] * G.hess_matvec(hess, mu))
         mu = mu + ds * la
@@ -295,20 +299,21 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
     def body(s):
         step, x, v, la, mu, active, outside, g = s
         x = x - ds * v
-        emask = active & G.inbounds(field, x)
-        n, nx = G.eval_grad(field, x, emask)
-        hess = G.eval_hess(field, x, emask)
+        xe = G.snap_to_nodes(x, field.h)
+        emask = active & G.inbounds(field, xe)
+        n, nx = G.eval_grad(field, xe, emask)
+        hess = G.eval_hess(field, xe, emask)
         v = v - (ds * n)[:, None] * nx
 
-        dist, _ = G.eval_grad(sdf, x, active)
-        active = active & ~G.escaped(field, x, -v)
+        dist, _ = G.eval_grad(sdf, xe, active)
+        active = active & ~G.escaped(field, xe, -v)
         cross = ~outside & (dist >= 0)
         active = active & ~cross
         outside = dist >= 0
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
-        g = G.scatter_into(g, field, x, dn * ds, dnx * ds, active & emask)
+        g = G.scatter_into(g, field, xe, dn * ds, dnx * ds, active & emask)
 
         la = la + ds * (dn[:, None] * nx + n[:, None] * G.hess_matvec(hess, mu))
         mu = mu + ds * la
@@ -338,15 +343,22 @@ def backtrace_cable(field: C.CylinderField, xt, vt, dx, dv, ds, max_steps: int,
     def body(s):
         step, x, v, la, mu, active, g = s
         x = x - ds * v
-        n, nx = C.cyl_eval_grad(field, x, active)
-        hess = C.cyl_eval_hess(field, x, active)
+        # snap eps-drifted axial positions onto the cap planes (y = 0 and
+        # y = length) so exact-on-cap forward evals are reproduced
+        tol = 1e-9 if x.dtype == jnp.float64 else 1e-3
+        ycap = jnp.where(jnp.abs(x[:, 1]) <= tol * field.radius, 0.0, x[:, 1])
+        ycap = jnp.where(jnp.abs(ycap - field.length) <= tol * field.radius,
+                         field.length, ycap)
+        xe = x.at[:, 1].set(ycap)
+        n, nx = C.cyl_eval_grad(field, xe, active)
+        hess = C.cyl_eval_hess(field, xe, active)
         v = v - (ds * n)[:, None] * nx
 
-        active = active & ~C.cyl_escaped(field, x, -v)
+        active = active & ~C.cyl_escaped(field, xe, -v)
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
-        g = g + C.cyl_splat_delta(field, x, dn * ds, dnx * ds, active)
+        g = g + C.cyl_splat_delta(field, xe, dn * ds, dnx * ds, active)
 
         la = la + ds * (dn[:, None] * nx + n[:, None] * C.cyl_hess_matvec(hess, mu))
         mu = mu + ds * la
@@ -390,3 +402,86 @@ def trace_scan(field: G.GridField, x0, v0, ds, max_steps: int):
         body, (x0, v0, x0, v0, inside0, esc0), None, length=max_steps)
     xt = _where3(esc, xt, x)
     return xt, vt
+
+
+def trace_plane_scan(field: G.GridField, x0, v0, pln_o, pln_d, ds,
+                     max_steps: int):
+    """Differentiable scan version of trace_plane (ADPlaneTracerC analog)."""
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+
+    def body(s, _):
+        x, v, xt, vt, inside, esc = s
+        n, nx = G.eval_grad(field, x, inside)
+        v = v + (ds * n)[:, None] * nx
+        x = x + ds * v
+        past_pln = jnp.einsum("nd,nd->n", x - pln_o, pln_d) > 0
+        cur_inside = G.inbounds(field, x) & ~past_pln
+        cross = inside & ~cur_inside
+        esc = esc | cross | G.escaped(field, x, v)
+        xt = _where3(cross, x, xt)
+        vt = _where3(cross, v, vt)
+        return (x, v, xt, vt, cur_inside, esc), None
+
+    (x, v, xt, vt, _, esc), _ = lax.scan(
+        body, (x0, v0, x0, v0, inside0, esc0), None, length=max_steps)
+    xt = _where3(esc, xt, x)
+    return xt, vt, ~esc
+
+
+def trace_sdf_scan(field: G.GridField, sdf: G.GridField, x0, v0, ds,
+                   max_steps: int):
+    """Differentiable scan version of trace_sdf (ADSDFTracerC analog)."""
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+
+    def body(s, _):
+        x, v, xt, vt, inside, esc = s
+        n, nx = G.eval_grad(field, x, inside)
+        v = v + (ds * n)[:, None] * nx
+        x = x + ds * v
+        dist, _ = G.eval_grad(sdf, x, inside)
+        cur_inside = dist < 0
+        cross = inside & ~cur_inside
+        esc = esc | cross | G.escaped(field, x, v)
+        xt = _where3(cross, x, xt)
+        vt = _where3(cross, v, vt)
+        return (x, v, xt, vt, cur_inside, esc), None
+
+    (x, v, xt, vt, _, esc), _ = lax.scan(
+        body, (x0, v0, x0, v0, inside0, esc0), None, length=max_steps)
+    return xt, vt
+
+
+def trace_cable_scan(field: C.CylinderField, x0, v0, target, ds,
+                     max_steps: int):
+    """Differentiable scan version of trace_cable (ADCableTracerC analog)."""
+    inside0 = C.cyl_inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    active0 = ~esc0
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+    d20 = jnp.sum((x0 - target) ** 2, axis=-1)
+
+    def body(s, _):
+        x, v, xt, vt, d2, inside, active, esc = s
+        n, nx = C.cyl_eval_grad(field, x)
+        vn = v + (ds * n)[:, None] * nx
+        v = _where3(active, vn, v)
+        x = _where3(active, x + ds * v, x)
+        cur_d2 = jnp.sum((x - target) ** 2, axis=-1)
+        closer = cur_d2 < d2
+        cur_inside = C.cyl_inbounds(field, x)
+        cross = inside & ~cur_inside
+        esc = esc | cross | C.cyl_escaped(field, x, v)
+        active = active & ~esc
+        xt = _where3(closer, x, xt)
+        vt = _where3(closer, v, vt)
+        d2 = jnp.where(closer, cur_d2, d2)
+        return (x, v, xt, vt, d2, cur_inside, active, esc), None
+
+    (x, v, xt, vt, d2, _, _, esc), _ = lax.scan(
+        body, (x0, v0, x0, v0, d20, inside0, active0, esc0), None,
+        length=max_steps)
+    return xt, vt, d2

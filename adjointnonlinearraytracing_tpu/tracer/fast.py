@@ -176,14 +176,18 @@ def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
     def body(s):
         step, x, v, la, mu, active, g = s
         x = x - ds * v
-        emask = active & G.inbounds(field, x)
-        ci, w0 = CT.cell_index(cf, x)
+        # snap eps-drifted positions back onto exact cell boundaries so the
+        # reverse sweep reproduces the forward's masks and cell assignment
+        # (see fields.grid.snap_to_nodes)
+        xe = G.snap_to_nodes(x, field.h)
+        emask = active & G.inbounds(field, xe)
+        ci, w0 = CT.cell_index(cf, xe)
         vals = jnp.where(emask[:, None], cf.flat[ci], 0.0)
         n, nx = CT.eval_grad_from(vals, w0, field.h)
         hess = CT.eval_hess_from(vals, w0, field.h)
         v = v - (ds * n)[:, None] * nx
 
-        active = active & ~G.escaped(field, x, -v)
+        active = active & ~G.escaped(field, xe, -v)
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
@@ -221,15 +225,16 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
     def body(s):
         step, x, v, la, mu, active, outside, g = s
         x = x - ds * v
-        emask = active & G.inbounds(field, x)
-        ci, w0 = CT.cell_index(cf, x)
+        xe = G.snap_to_nodes(x, field.h)
+        emask = active & G.inbounds(field, xe)
+        ci, w0 = CT.cell_index(cf, xe)
         vals = jnp.where(emask[:, None], cf.flat[ci], 0.0)
         n, nx = CT.eval_grad_from(vals, w0, field.h)
         hess = CT.eval_hess_from(vals, w0, field.h)
         v = v - (ds * n)[:, None] * nx
 
-        dist, _, _, _, _ = _eval(cf_sdf, x, active, field.h)
-        active = active & ~G.escaped(field, x, -v)
+        dist, _, _, _, _ = _eval(cf_sdf, xe, active, field.h)
+        active = active & ~G.escaped(field, xe, -v)
         cross = ~outside & (dist >= 0)
         active = active & ~cross
         outside = dist >= 0

@@ -114,7 +114,7 @@ class TestGolden:
 
         g = jax.grad(loss)(self.rif)
         checksum = float(jnp.sum(g * jnp.arange(g.size).reshape(g.shape)))
-        golden = 7835.409837227282
+        golden = 8602.58073509282  # post boundary-snap fix; == AD-tape value
         assert abs(checksum - golden) < 1e-6, checksum
 
 

@@ -298,3 +298,53 @@ class TestMaxSteps:
     def test_formulas(self):
         assert E.max_steps_fwd(129, 20 / 128, (20 / 128) / 2) == 1032
         assert E.max_steps_bwd(129, 20 / 128, (20 / 128) / 2) == 516
+
+
+class TestBoundaryExactEntry:
+    """Regression: rays whose forward evals land EXACTLY on cell boundaries
+    (deterministic sources on grid faces + rational ds) must still produce
+    the exact adjoint gradient.  The backward re-integration reconstructs
+    such positions with an eps sign flip, which used to drop the entry-step
+    contribution entirely (fixed by fields.grid.snap_to_nodes); the reference
+    implementation has this same fragility un-fixed."""
+
+    def test_exact_boundary_entry_gradient(self):
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.2)
+        # vertical rays starting exactly ds below the entry face: the first
+        # in-volume sample lands exactly on y = 0
+        x = jnp.array([[3.7, -0.5, 4.2], [4.4, -0.5, 3.6]])
+        v = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (2, 1))
+
+        g_adj = jax.grad(
+            lambda r: jnp.sum(tracer.trace(r, x, v, h, 0.5)[0] ** 2))(rif)
+        g_ad = jax.grad(
+            lambda r: jnp.sum(tracer.trace_ad(r, x, v, h, 0.5)[0] ** 2))(rif)
+        scale = jnp.abs(g_ad).max()
+        np.testing.assert_allclose(g_adj / scale, g_ad / scale, atol=1e-12)
+
+    def test_ad_variant_parity(self):
+        """The plane/cable AD variants agree with their adjoint twins."""
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(6, res, h, seed=31)
+        span = (res - 1) * h
+        po = jnp.tile(jnp.array([[0.0, span + 1.0, 0.0]]), (6, 1))
+        pd = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (6, 1))
+        g1 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_plane(r, x, v, po, pd, h, 0.5)[0] ** 2))(rif)
+        g2 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_plane_ad(r, x, v, po, pd, h, 0.5)[0] ** 2))(rif)
+        scale = jnp.abs(g2).max()
+        np.testing.assert_allclose(g1 / scale, g2 / scale, atol=5e-6)
+
+        prof = 1.0 + 0.1 * jnp.linspace(1.0, 0.0, 9) ** 2
+        xc = jnp.array([[1.3, 0.01, 1.0], [0.8, 0.01, 1.2]])
+        vc = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (2, 1))
+        tg = jnp.tile(jnp.array([[1.0, 3.5, 1.0]]), (2, 1))
+        gc1 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_cable(r, 1.0, 4.0, xc, vc, tg, 0.02)[0] ** 2))(prof)
+        gc2 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_cable_ad(r, 1.0, 4.0, xc, vc, tg, 0.02)[0] ** 2))(prof)
+        scale = jnp.abs(gc2).max()
+        np.testing.assert_allclose(gc1 / scale, gc2 / scale, atol=5e-6)
