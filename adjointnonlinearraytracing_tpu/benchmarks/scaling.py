@@ -4,7 +4,9 @@ Measures rays/s of the full fwd+adjoint step at 1, 2, 4, ... devices with the
 ray count scaled proportionally (weak scaling), reporting parallel
 efficiency.  On a real pod slice this exercises ICI; under
 ``--xla_force_host_platform_device_count`` it validates the mechanism and
-gives an indicative number on CPU threads.
+gives an indicative number on CPU threads.  NOTE: virtual CPU devices
+share the same physical cores, so CPU "efficiency" mostly measures thread
+contention — real scaling numbers require real chips (ROADMAP.md).
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
      python -m adjointnonlinearraytracing_tpu.benchmarks.scaling

@@ -2,6 +2,7 @@ from .mesh import (
     make_ray_mesh,
     make_sharded_trace,
     make_sharded_trace_plane,
+    make_sharded_trace_target,
     pad_rays,
     shard_rays,
     replicate,

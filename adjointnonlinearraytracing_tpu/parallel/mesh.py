@@ -169,3 +169,48 @@ def make_sharded_trace_plane(mesh: Mesh, h: float, ds: float, res_max: int):
 
     traced.defvjp(traced_fwd, traced_bwd)
     return traced
+
+
+def make_sharded_trace_target(mesh: Mesh, h: float, ds: float, res_max: int):
+    """Sharded differentiable ``trace_target(rif, x, v, target)``."""
+    steps_f = E.max_steps_fwd(res_max, h, ds)
+    steps_b = E.max_steps_bwd(res_max, h, ds)
+    ray_spec = P("rays", None)
+
+    def _fwd_local(rif, x, v, tgt):
+        return F.trace_target(GridField(rif, h), x, v, tgt, ds, steps_f)
+
+    fwd_sharded = shard_map(
+        _fwd_local, mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec, P("rays")),
+    )
+
+    def _bwd_local(rif, xt, vt, dxt, dvt):
+        g = F.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
+                        axis_name="rays")
+        return jax.lax.psum(g, "rays")
+
+    bwd_sharded = shard_map(
+        _bwd_local, mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec, ray_spec, ray_spec),
+        out_specs=P(),
+    )
+
+    @jax.custom_vjp
+    def traced(rif, x, v, tgt):
+        return fwd_sharded(rif, x, v, tgt)
+
+    def traced_fwd(rif, x, v, tgt):
+        out = fwd_sharded(rif, x, v, tgt)
+        return out, (rif, out[0], out[1])
+
+    def traced_bwd(res, cts):
+        rif, xt, vt = res
+        dxt, dvt, _ = cts
+        g = bwd_sharded(rif, xt, vt, dxt, dvt)
+        z = jnp.zeros_like(xt)
+        return g.reshape(rif.shape), z, z, z
+
+    traced.defvjp(traced_fwd, traced_bwd)
+    return traced

@@ -99,3 +99,27 @@ class TestShardedTrace:
         xp2, mask2 = pad_rays(jnp.ones((16, 3)), 8)
         assert xp2.shape == (16, 3)
         assert bool(mask2.all())
+
+
+class TestShardedTarget:
+    def test_matches_single_device(self):
+        from adjointnonlinearraytracing_tpu.parallel.mesh import (
+            make_ray_mesh, make_sharded_trace_target)
+
+        mesh = make_ray_mesh()
+        res, h, ds = 9, 1.0, 0.5
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(16, res, h, seed=2)
+        span = (res - 1) * h
+        tgt = jnp.tile(jnp.array([[span / 2, span / 2, span / 2]]), (16, 1))
+
+        f = make_sharded_trace_target(mesh, h, ds, res)
+        xt_s, vt_s, d2_s = f(rif, x, v, tgt)
+        xt, vt, d2 = tracer.trace_target(rif, x, v, tgt, h, ds)
+        np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+        np.testing.assert_allclose(d2_s, d2, atol=1e-12)
+
+        g_s = jax.jit(jax.grad(lambda r: jnp.sum(f(r, x, v, tgt)[0] ** 2)))(rif)
+        g = jax.grad(lambda r: jnp.sum(
+            tracer.trace_target(r, x, v, tgt, h, ds)[0] ** 2))(rif)
+        np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
