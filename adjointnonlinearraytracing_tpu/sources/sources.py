@@ -384,12 +384,19 @@ def area_source3_rand(key, angle, pixels, spp: int, width, circle=False,
 
 
 def sample_sphere(key, nrays: int, width, cone_angle=90.0, lens_type="luneburg"):
-    """Sphere-surface source for lens tests (source.py:315-334)."""
+    """Sphere-surface source for lens tests (source.py:315-334).
+
+    Deviation from the reference: directions are re-normalized.  The
+    reference's hatbox tangent frame is unnormalized cross products
+    (source.py:542-543), which for arbitrary cone axes yields |v| < 1 and
+    breaks the tracer's |v| = n speed convention — a latent bug there (the
+    function is unused by its drivers)."""
     k1, k2, k3 = jax.random.split(key, 3)
     x = jax.random.normal(k1, (nrays, 3))
     xn = x / jnp.linalg.norm(x, axis=1, keepdims=True)
     v = -xn
     vn = hatbox_sample(k2, v, cone_angle)
+    vn = vn / jnp.linalg.norm(vn, axis=1, keepdims=True)
     xn = xn * width / 2
 
     tangent = jax.random.normal(k3, (nrays, 3))

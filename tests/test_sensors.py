@@ -240,3 +240,63 @@ class TestCompat:
         xt1, vt1 = compat.BackTracerC(rif, x, v, 1.0, 0.5)
         xt2, vt2 = compat.ADTracerC(rif, x, v, 1.0, 0.5)
         np.testing.assert_allclose(xt1, xt2, atol=1e-12)
+
+
+class TestMoreSources:
+    def test_rays_in_sphere(self):
+        rays, nrays = S.rays_in_sphere(4, 6, 10.0)
+        assert rays.x.shape[0] == sum(nrays) == 4 * 36
+
+    def test_rand_wrappers(self):
+        key = jax.random.PRNGKey(0)
+        r1, n1 = S.rand_rays_in_sphere(key, 3, (4, 4), 1, 10.0)
+        assert r1.x.shape[0] == 48 and len(n1) == 3
+        r2, n2 = S.rand_ptrays_in_sphere(key, 2, (4, 4), 1, 10.0)
+        assert r2.x.shape[0] == 32
+        r3, tgt, tpv, n3 = S.rand_area_in_sphere(key, 2, (4, 4), 1, 10.0)
+        assert r3.x.shape[0] == tgt.shape[0] == tpv.shape[0] == 32
+        r4, d4, n4 = S.rand_cone_in_sphere(key, 2, (4, 4), 1, 10.0)
+        assert r4.x.shape[0] == 32
+        r5, d5, n5 = S.rand_ptcone_in_sphere(key, 2, (4, 4), 1, 10.0)
+        assert r5.x.shape[0] == 32
+
+    def test_sample_sphere(self):
+        rays, rpv = S.sample_sphere(jax.random.PRNGKey(1), 64, 10.0)
+        # origins on the sphere of radius width/2 around center
+        r = jnp.linalg.norm(rays.x - 5.0, axis=-1)
+        np.testing.assert_allclose(r, 5.0, atol=1e-5)
+        np.testing.assert_allclose(jnp.linalg.norm(rays.v, axis=-1), 1.0,
+                                   atol=1e-6)
+
+    def test_perturb_vector(self):
+        v = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (8, 1))
+        out = S.perturb_vector(jax.random.PRNGKey(2), v, 3)
+        assert out.shape == (24, 3)
+        np.testing.assert_allclose(jnp.linalg.norm(out, axis=-1), 1.0,
+                                   atol=1e-6)
+
+    def test_norms_and_filters(self):
+        im = jnp.array([[1.0, 3.0], [2.0, 6.0]])
+        np.testing.assert_allclose(float(jnp.linalg.norm(
+            S.sum_norm2(im).ravel())), 4.0, rtol=1e-6)
+        out = S.norm_image(im)
+        assert float(out.min()) == 0.0 and float(out.max()) == 1.0
+        flat = S.norm_image(jnp.ones((3, 3)))
+        np.testing.assert_allclose(flat, 1.0)
+        v, vx = S.gauss_filter(jnp.array([0.0, 0.5, 2.0]))
+        assert v[2] == 0.0 and jnp.isfinite(v).all()
+
+    def test_rotate_ic(self):
+        r = S.plane_source3(0.0, 4, 10.0)
+        xr, vr, pl = S.rotate_ic(r.x, r.v, r.planes, 90.0, 10.0)
+        np.testing.assert_allclose(jnp.linalg.norm(vr, axis=-1), 1.0,
+                                   atol=1e-9)
+        assert pl.shape == r.planes.shape
+
+    def test_render_intensities(self):
+        x, v, planes = S.rays_in_circle(2, 16, 8.0)
+        ims = S.render_intensities(x, v, planes, 2, 16, 8, 8.0)
+        assert ims.shape == (16,)
+        ims2, grads = S.render_intensities(x, v, planes, 2, 16, 8, 8.0,
+                                           grad=True)
+        assert len(grads) == 4
