@@ -242,3 +242,22 @@ class TestResume:
         assert n2.shape == (9, 9, 9)
         assert len(h2) > len(h1)
         assert np.isfinite(h2).all()
+
+
+class TestImageSdfLoss:
+    def test_sdf_texture_loss_mode(self):
+        """image_opt's sdf_loss mode (distance textures instead of images)."""
+        sdf_tex = jnp.linspace(-1, 1, 64).reshape(8, 8)
+        params = dict(sdf_loss=True, sdf_disp=[sdf_tex], disp_ims=[None],
+                      res_list=[5], vol_span=10, spp=1, nbins=8,
+                      optim_iters=3, lr=1e-3, seed=0)
+        eta, hist = image.multires_exp(params)
+        assert np.isfinite(hist).all()
+
+    def test_far_field_deflection_loss(self):
+        far_tgt = S.sum_norm(jnp.ones((8, 8)))
+        params = dict(disp_ims=[None], defl_ims=[far_tgt], defl_weight=0.5,
+                      res_list=[5], vol_span=10, spp=1, nbins=8,
+                      optim_iters=3, lr=1e-3, seed=0)
+        eta, hist = image.multires_exp(params)
+        assert np.isfinite(hist).all()
