@@ -1,0 +1,212 @@
+"""Checkpointed-segment adjoint: exact gradients without reverse drift.
+
+The constant-memory adjoint (eikonal/fast.backtrace) re-integrates the
+trajectory in reverse.  That is O(1) memory in steps but numerically fragile:
+at float32 the reconstructed path drifts on rough index fields and the
+gradient degrades (the f32 CUDA reference behaves identically; see the
+precision note in tracer/api.py).
+
+This module implements the classic middle ground: the forward stepper stores
+a checkpoint every ``seg`` steps plus each ray's capture step ``c`` (the step
+whose state became the output), and the backward pass replays each segment
+FORWARD from its checkpoint — so every adjoint update uses the *exact*
+forward positions — while running the lambda/mu recursion in reverse across
+segments, gating all updates on ``k < c``.  This computes the exact discrete
+gradient (== jax.grad through the unrolled forward, at any precision) with
+O(N * (max_steps/seg + seg)) memory instead of the tape's O(N * max_steps).
+
+Memory at the north-star scale (128^3, 1032 fwd steps, 256k rays, seg=32):
+~200 MB of checkpoints + ~200 MB replay buffer — comfortably in HBM where
+the full tape would need ~6 GB of gathered residuals.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..fields import cells as CT
+from ..fields import grid as G
+from ..fields.grid import GridField
+from . import eikonal as E
+
+
+def _where3(m, a, b):
+    return jnp.where(m[:, None], a, b)
+
+
+def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int):
+    """Segmented forward; returns (xt, vt, esc, c, ckpts).
+
+    ckpts: (nseg, N, 6) state (x, v) at each segment start.
+    c:     (N,) int32 capture step — the step index whose post-step state was
+           recorded as the output (crossing step, or the last step for rays
+           that never exited; pre-entry/failed rays keep c = max processed).
+    """
+    cf = CT.build_cell_table(field)
+    nseg = -(-max_steps // seg)
+    n = x0.shape[0]
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+
+    def step(carry, k):
+        x, v, xt, vt, inside, esc, c = carry
+        nv, nx = CT.eval_grad_from(
+            *_fetch(cf, x, inside), field.h)
+        v2 = v + (ds * nv)[:, None] * nx
+        x2 = x + ds * v2
+        cur_inside = G.inbounds(field, x2)
+        cross = inside & ~cur_inside
+        esc2 = esc | cross | G.escaped(field, x2, v2)
+        xt2 = _where3(cross, x2, xt)
+        vt2 = _where3(cross, v2, vt)
+        c2 = jnp.where(cross, (k + 1).astype(jnp.int32), c)
+        # frozen once all escaped (segment-level cond below also skips)
+        return (x2, v2, xt2, vt2, cur_inside, esc2, c2), None
+
+    def segment(carry, s):
+        x, v, xt, vt, inside, esc, c = carry
+        ck = jnp.concatenate([x, v], axis=-1)  # (N, 6) checkpoint
+
+        def run(carry):
+            def body(j, cr):
+                cr2, _ = step(cr, s * seg + j)
+                return cr2
+            return lax.fori_loop(0, seg, body, carry)
+
+        carry2 = lax.cond(jnp.all(esc), lambda cr: cr, run, carry)
+        return carry2, ck
+
+    c0 = jnp.full((n,), max_steps, dtype=jnp.int32)
+    init = (x0, v0, x0, v0, inside0, esc0, c0)
+    (x, v, xt, vt, _, esc, c), ckpts = lax.scan(
+        segment, init, jnp.arange(nseg))
+    # failed-to-exit fixup (tracer.cpp:89-96): report final position
+    xt = _where3(esc, xt, x)
+    return xt, vt, esc, c, ckpts
+
+
+def _fetch(cf, x, mask):
+    ci, w0 = CT.cell_index(cf, x)
+    vals = cf.flat[ci]
+    if mask is not None:
+        vals = jnp.where(mask[:, None], vals, 0.0)
+    return vals, w0
+
+
+def _backward_segments(field: GridField, ckpts, c, dx, dv, ds, max_steps: int,
+                       seg: int, axis_name=None):
+    """Replay segments in reverse; exact lambda/mu recursion gated on k < c."""
+    cf = CT.build_cell_table(field)
+    nseg = ckpts.shape[0]
+    n = ckpts.shape[1]
+    ds = jnp.asarray(ds, dtype=ckpts.dtype)
+
+    la0 = dx
+    mu0 = dv + ds * dx
+    g0 = CT.zero_cell_grad(cf)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
+
+    max_c = jnp.max(c)
+
+    def replay_segment(ck):
+        """Forward positions x_k for k in [s*seg, s*seg+seg) from checkpoint."""
+        x = ck[:, :3]
+        v = ck[:, 3:]
+
+        def body(carry, _):
+            x, v = carry
+            inside = G.inbounds(field, x)
+            nv, nx = CT.eval_grad_from(*_fetch(cf, x, inside), field.h)
+            v2 = v + (ds * nv)[:, None] * nx
+            x2 = x + ds * v2
+            return (x2, v2), x  # emit the PRE-step position x_k
+
+        (_, _), xs = lax.scan(body, (x, v), None, length=seg)
+        return xs  # (seg, N, 3)
+
+    def seg_bwd(carry, s):
+        la, mu, g = carry
+
+        def run(carry):
+            la, mu, g = carry
+            xs = replay_segment(ckpts[s])
+
+            def body(j, state):
+                la, mu, g = state
+                k = s * seg + j                      # global step index
+                xk = xs[j]
+                gate = k < c                         # contributes iff before capture
+                emask = gate & G.inbounds(field, xk)
+                vals, w0 = _fetch(cf, xk, emask)
+                ci, _ = CT.cell_index(cf, xk)
+                nv, nx = CT.eval_grad_from(vals, w0, field.h)
+                hess = CT.eval_hess_from(vals, w0, field.h)
+
+                dn = jnp.einsum("nd,nd->n", mu, nx)
+                dnx = nv[:, None] * mu
+                contrib = CT.splat_rows(w0, dn * ds, dnx * ds, field.h,
+                                        mask=emask)
+                g = CT.scatter_rows(g, ci, contrib)
+
+                la2 = la + ds * (dn[:, None] * nx
+                                 + nv[:, None] * G.hess_matvec(hess, mu))
+                mu2 = mu + ds * la2
+                la = _where3(gate, la2, la)
+                mu = _where3(gate, mu2, mu)
+                return (la, mu, g)
+
+            # reverse within the segment: j = seg-1 .. 0
+            la, mu, g = lax.fori_loop(
+                0, seg, lambda i, st: body(seg - 1 - i, st), (la, mu, g))
+            return (la, mu, g)
+
+        # skip segments entirely past every ray's capture step
+        out = lax.cond(s * seg >= max_c, lambda cr: cr, run, (la, mu, g))
+        return out, None
+
+    (la, mu, g), _ = lax.scan(
+        seg_bwd, (la0, mu0, g0), jnp.arange(nseg - 1, -1, -1))
+    return CT.fold_cell_grad(g, cf).reshape(-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def trace_exact(rif, x, v, h, ds, seg: int = 32):
+    """Volume trace whose gradient is the exact discrete adjoint.
+
+    Same forward semantics as :func:`tracer.trace`; the backward pass uses
+    segment checkpoints + forward replay instead of reverse re-integration,
+    so gradients match plain autodiff at machine precision at ANY dtype
+    (including rough float32 fields where the O(1)-memory adjoint drifts).
+    Memory: O(N * (steps/seg + seg)).
+    """
+    field = GridField(rif, h)
+    steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    xt, vt, _, _, _ = _forward_with_ckpts(field, x, v, ds, steps, seg)
+    return xt, vt
+
+
+def _trace_exact_fwd(rif, x, v, h, ds, seg):
+    field = GridField(rif, h)
+    steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    xt, vt, esc, c, ckpts = _forward_with_ckpts(field, x, v, ds, steps, seg)
+    return (xt, vt), (rif, c, ckpts)
+
+
+def _trace_exact_bwd(h, ds, seg, res, cts):
+    rif, c, ckpts = res
+    dxt, dvt = cts
+    field = GridField(rif, h)
+    steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg)
+    n = ckpts.shape[1]
+    zeros3 = jnp.zeros((n, 3), dtype=ckpts.dtype)
+    return g.reshape(rif.shape), zeros3, zeros3
+
+
+trace_exact.defvjp(_trace_exact_fwd, _trace_exact_bwd)

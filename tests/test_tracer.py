@@ -348,3 +348,57 @@ class TestBoundaryExactEntry:
             tracer.trace_cable_ad(r, 1.0, 4.0, xc, vc, tg, 0.02)[0] ** 2))(prof)
         scale = jnp.abs(gc2).max()
         np.testing.assert_allclose(gc1 / scale, gc2 / scale, atol=5e-6)
+
+
+class TestCheckpointedAdjoint:
+    """trace_exact: segment-checkpointed adjoint == autodiff at machine
+    precision at ANY dtype (incl. cases where reverse re-integration drifts)."""
+
+    def test_forward_identical(self):
+        rif = bump_field(9, 1.0, amp=0.2)
+        x, v = entry_rays(12, 9, 1.0, seed=13)
+        a = tracer.trace(rif, x, v, 1.0, 0.5)
+        b = tracer.trace_exact(rif, x, v, 1.0, 0.5, 8)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-14)
+        np.testing.assert_allclose(a[1], b[1], atol=1e-14)
+
+    def test_gradient_machine_precision_f64(self):
+        rif = bump_field(9, 1.0, amp=0.25)
+        x, v = entry_rays(10, 9, 1.0, seed=17)
+
+        g1 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_exact(r, x, v, 1.0, 0.5, 8)[0] ** 2))(rif)
+        g2 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_ad(r, x, v, 1.0, 0.5)[0] ** 2))(rif)
+        scale = jnp.abs(g2).max()
+        np.testing.assert_allclose(g1 / scale, g2 / scale, atol=1e-13)
+
+    def test_rough_field_f32(self):
+        """The case where the O(1)-memory adjoint drifts ~24%: trace_exact
+        stays at f32 machine precision."""
+        key = jax.random.PRNGKey(0)
+        rif = (jnp.ones((17, 17, 17))
+               + 0.1 * jax.random.uniform(key, (17, 17, 17))).astype(jnp.float32)
+        from adjointnonlinearraytracing_tpu.sources import sources as S
+
+        r = S.plane_source3(0.0, 6, 20.0)
+        x = r.x.astype(jnp.float32)
+        v = r.v.astype(jnp.float32)
+        h, ds = 20 / 16, 10 / 16
+
+        gE = jax.grad(lambda n: jnp.sum(
+            tracer.trace_exact(n, x, v, h, ds, 16)[0] ** 2))(rif)
+        gA = jax.grad(lambda n: jnp.sum(
+            tracer.trace_ad(n, x, v, h, ds)[0] ** 2))(rif)
+        rel = float(jnp.abs(gE - gA).max() / jnp.abs(gA).max())
+        assert rel < 1e-4, rel
+
+    def test_segment_size_invariance(self):
+        rif = bump_field(9, 1.0, amp=0.2)
+        x, v = entry_rays(8, 9, 1.0, seed=19)
+
+        grads = [jax.grad(lambda r: jnp.sum(
+            tracer.trace_exact(r, x, v, 1.0, 0.5, s)[0] ** 2))(rif)
+            for s in (4, 16, 64)]
+        np.testing.assert_allclose(grads[0], grads[1], atol=1e-12)
+        np.testing.assert_allclose(grads[1], grads[2], atol=1e-12)
