@@ -40,16 +40,29 @@ def masked_sum_sq(diff, mask):
     return jnp.sum(m * diff ** 2)
 
 
-def make_trace(vol_span, ds, autodiff=False, use_mesh=False, res=None):
+def make_trace(vol_span, ds, autodiff=False, use_mesh=False, res=None,
+               gradient=None, seg=32):
     """Volume trace closure: h is derived from the *current* grid resolution
-    (luneburg_opt.py:85-89) while ds stays fixed from the finest one."""
+    (luneburg_opt.py:85-89) while ds stays fixed from the finest one.
+
+    ``gradient`` selects the differentiation strategy:
+      - "adjoint" (default): O(1)-memory reverse re-integration
+      - "exact": checkpointed-segment adjoint (tracer.trace_exact) — exact
+        discrete gradients at any precision, O(N*(steps/seg+seg)) memory
+      - "ad": plain autodiff through the scan forward (tape analog)
+    ``autodiff=True`` is the reference-style alias for "ad".
+    """
+    if gradient is None:
+        gradient = "ad" if autodiff else "adjoint"
     the_mesh = pmesh.make_ray_mesh() if use_mesh else None
     cache = {}
 
     def trace(nt, x, v):
         h = vol_span / max(nt.shape[0] - 1, 1)
-        if autodiff:
+        if gradient == "ad":
             return tracer.trace_ad(nt, x, v, h, ds)
+        if gradient == "exact":
+            return tracer.trace_exact(nt, x, v, h, ds, seg)
         if the_mesh is not None:
             key = (nt.shape[0], float(h))
             if key not in cache:

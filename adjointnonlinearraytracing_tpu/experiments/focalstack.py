@@ -121,7 +121,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
 
     metrics = MetricsLogger(
         f"{result_dir}/metrics.jsonl" if result_dir else None)
-    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh)
+    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
+                              gradient=params.get("gradient"))
 
     def loss_function(eta, key):
         rays, _, _ = _gen_start_rays(key, src_type, nbins, spp, span, angle_s,

@@ -94,7 +94,8 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
                       rays.planes.astype(dtype), rays.mask)
         return rays, rpv
 
-    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh)
+    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
+                              gradient=params.get("gradient"))
 
     # measurement rays are FIXED across the optimization (fuel_injection_opt
     # traces the GT once, :85-86)

@@ -85,7 +85,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
                       rays.planes.astype(dtype), rays.mask)
         return rays, rpv, tpv.astype(dtype)
 
-    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh)
+    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
+                              gradient=params.get("gradient"))
 
     def view_images(eta, key, samples):
         rays, rpv, tpv = gen_start_rays(key, samples)

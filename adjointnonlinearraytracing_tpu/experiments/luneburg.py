@@ -78,7 +78,8 @@ def run_opt(params: Dict, result_dir: Optional[str] = None):
         rays, nrays = S._cat_rays(views)
         return rays, nrays
 
-    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh)
+    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
+                              gradient=params.get("gradient"))
 
     def loss_function(eta, key):
         rays, _ = gen_start_rays(key, spp)
