@@ -214,3 +214,56 @@ def make_sharded_trace_target(mesh: Mesh, h: float, ds: float, res_max: int):
 
     traced.defvjp(traced_fwd, traced_bwd)
     return traced
+
+
+def make_sharded_trace_exact(mesh: Mesh, h: float, ds: float, res_max: int,
+                             seg: int = 32):
+    """Sharded checkpointed-exact trace: ray-sharded checkpoints, psum'd grad."""
+    from ..tracer import checkpointed as CK
+
+    steps = E.max_steps_fwd(res_max, h, ds)
+    ray_spec = P("rays", None)
+
+    def _fwd_local(rif, x, v):
+        field = GridField(rif, h)
+        xt, vt, esc, c, ckpts = CK._forward_with_ckpts(field, x, v, ds, steps, seg,
+                                                       axis_name="rays")
+        return xt, vt, c, ckpts
+
+    fwd_sharded = shard_map(
+        _fwd_local, mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec, P("rays"), P(None, "rays", None)),
+    )
+
+    def _bwd_local(rif, ckpts, c, dxt, dvt):
+        field = GridField(rif, h)
+        g = CK._backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg,
+                                  axis_name="rays")
+        return jax.lax.psum(g, "rays")
+
+    bwd_sharded = shard_map(
+        _bwd_local, mesh=mesh,
+        in_specs=(P(), P(None, "rays", None), P("rays"), ray_spec, ray_spec),
+        out_specs=P(),
+    )
+
+    @jax.custom_vjp
+    def traced(rif, x, v):
+        xt, vt, _, _ = fwd_sharded(rif, x, v)
+        return xt, vt
+
+    def traced_fwd(rif, x, v):
+        xt, vt, c, ckpts = fwd_sharded(rif, x, v)
+        return (xt, vt), (rif, c, ckpts)
+
+    def traced_bwd(res, cts):
+        rif, c, ckpts = res
+        dxt, dvt = cts
+        g = bwd_sharded(rif, ckpts, c, dxt, dvt)
+        n = ckpts.shape[1]
+        z = jnp.zeros((n, 3), dtype=ckpts.dtype)
+        return g.reshape(rif.shape), z, z
+
+    traced.defvjp(traced_fwd, traced_bwd)
+    return traced

@@ -38,7 +38,8 @@ def _where3(m, a, b):
     return jnp.where(m[:, None], a, b)
 
 
-def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int):
+def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int,
+                        axis_name=None):
     """Segmented forward; returns (xt, vt, esc, c, ckpts).
 
     ckpts: (nseg, N, 6) state (x, v) at each segment start.
@@ -82,6 +83,8 @@ def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int):
         return carry2, ck
 
     c0 = jnp.full((n,), max_steps, dtype=jnp.int32)
+    if axis_name is not None:
+        c0 = lax.pcast(c0, axis_name, to="varying")
     init = (x0, v0, x0, v0, inside0, esc0, c0)
     (x, v, xt, vt, _, esc, c), ckpts = lax.scan(
         segment, init, jnp.arange(nseg))

@@ -123,3 +123,24 @@ class TestShardedTarget:
         g = jax.grad(lambda r: jnp.sum(
             tracer.trace_target(r, x, v, tgt, h, ds)[0] ** 2))(rif)
         np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
+
+
+class TestShardedExact:
+    def test_matches_single_device(self):
+        from adjointnonlinearraytracing_tpu.parallel.mesh import (
+            make_ray_mesh, make_sharded_trace_exact)
+
+        mesh = make_ray_mesh()
+        res, h, ds = 9, 1.0, 0.5
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(16, res, h, seed=3)
+
+        f = make_sharded_trace_exact(mesh, h, ds, res, seg=8)
+        xt_s, vt_s = f(rif, x, v)
+        xt, vt = tracer.trace_exact(rif, x, v, h, ds, 8)
+        np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+
+        g_s = jax.jit(jax.grad(lambda r: jnp.sum(f(r, x, v)[0] ** 2)))(rif)
+        g = jax.grad(lambda r: jnp.sum(
+            tracer.trace_exact(r, x, v, h, ds, 8)[0] ** 2))(rif)
+        np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
