@@ -133,7 +133,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
 
     def log_function(iter_count, eta):
         metrics.log(iter_count, res=eta.shape[0])
-        if result_dir is None or iter_count % record_iters != 0:
+        if (result_dir is None or record_iters > 10 ** 8
+                or iter_count % record_iters != 0):
             return
         key = jax.random.PRNGKey(seed + 300_000 + iter_count)
         rays, _, _ = _gen_start_rays(key, src_type, nbins, spp * 2, span,

@@ -117,7 +117,8 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
 
     def log_function(iter_count, eta):
         metrics.log(iter_count, res=eta.shape[0])
-        if result_dir is None or iter_count % record_iters != 0:
+        if (result_dir is None or record_iters > 10 ** 8
+                or iter_count % record_iters != 0):
             return
         imx = eta[eta.shape[0] // 2, :, :]
         imy = eta[:, eta.shape[1] // 2, :]

@@ -145,7 +145,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
 
     def log_function(iter_count, eta):
         metrics.log(iter_count, res=eta.shape[0])
-        if result_dir is None or iter_count % record_iters != 0:
+        if (result_dir is None or record_iters > 10 ** 8
+                or iter_count % record_iters != 0):
             return
         key = jax.random.PRNGKey(seed + 200_000 + iter_count)
         _, (xs, vs, ms, dists), (sensor_p, sensor_n, sensor_t) = \

@@ -93,7 +93,7 @@ def run_opt(params: Dict, result_dir: Optional[str] = None):
 
     def log_function(iter_count, eta):
         metrics.log(iter_count, res=eta.shape[0])
-        if result_dir is None:
+        if result_dir is None or record_iters > 10 ** 8:
             return
         if iter_count % record_iters == 0:
             key = jax.random.PRNGKey(seed + 100_000 + iter_count)
