@@ -39,7 +39,24 @@ def build_case(res=128, nrays=1 << 18, span=20.0, dtype="float32"):
     return rif, jnp.asarray(x0, dtype), jnp.asarray(v0, dtype), span
 
 
+def _wait_for_backend(tries=8, delay=45):
+    """The chip is single-client; retry attach if a stale holder lingers."""
+    import time as _t
+
+    for i in range(tries):
+        try:
+            import jax
+
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if "Unable to initialize backend" not in str(e) or i == tries - 1:
+                raise
+            _t.sleep(delay)
+
+
 def main():
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
