@@ -356,3 +356,95 @@ class TestRenderHelpers:
         assert im.shape == (8, 8)
         # center of the slice is on the cylinder axis -> peak index
         assert float(im[4, 0]) > float(im[0, 0])
+
+
+class TestRbfToolkit:
+    """Deeper coverage of the sensor-grid toolkit (core/grid.py twins)."""
+
+    def _grid(self, key, res=12, h=0.5, ndim=2):
+        from adjointnonlinearraytracing_tpu.fields import rbf
+
+        scene = jax.random.uniform(key, (res,) * ndim)
+        return rbf.RbfGrid(scene, jnp.zeros_like(scene), h)
+
+    def test_get_linear_matches_autodiff(self):
+        from adjointnonlinearraytracing_tpu.fields import rbf
+
+        g = self._grid(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (16, 2), minval=0.5,
+                               maxval=5.0)
+
+        def value(pt):
+            f, _ = rbf.get_linear(g, pt[None, :])
+            return f[0]
+
+        f, fx = rbf.get_linear(g, x)
+        for i in range(4):
+            gi = jax.grad(value)(x[i])
+            np.testing.assert_allclose(fx[i], gi, rtol=1e-6, atol=1e-9)
+
+    def test_splat_linear_transpose(self):
+        """splat_linear's (value, grad) accumulation is h-scaled as in the
+        reference (grid.py:308: dot term carries an h factor)."""
+        from adjointnonlinearraytracing_tpu.fields import rbf
+
+        g0 = self._grid(jax.random.PRNGKey(2))
+        zero = rbf.RbfGrid(jnp.zeros_like(g0.scene),
+                           jnp.zeros_like(g0.scene), g0.h)
+        x = jax.random.uniform(jax.random.PRNGKey(3), (8, 2), minval=1.0,
+                               maxval=4.0)
+        f = jax.random.normal(jax.random.PRNGKey(4), (8,))
+        fx = jax.random.normal(jax.random.PRNGKey(5), (8, 2))
+
+        out = rbf.splat_linear(zero, x, f, fx)
+        # dot-product check against get_linear on a probe field
+        u = jax.random.normal(jax.random.PRNGKey(6), g0.scene.shape)
+        lhs = jnp.vdot(out.scene, u)
+        uf = rbf.RbfGrid(u, jnp.zeros_like(u), g0.h)
+        fu, fxu = rbf.get_linear(uf, x)
+        rhs = jnp.sum(f * fu) + g0.h * jnp.sum(fx * fxu) * g0.h
+        # reference scales the gradient dot by h (and fx by 1/h in get) —
+        # net factor h^0: verify equality with the value+h*grad convention
+        rhs = jnp.sum(f * fu) + jnp.sum(fx * (fxu * g0.h)) * g0.h
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+    def test_get_spline_matches_autodiff(self):
+        from adjointnonlinearraytracing_tpu.fields import rbf
+
+        g = self._grid(jax.random.PRNGKey(7), ndim=2)
+        x = jax.random.uniform(jax.random.PRNGKey(8), (8, 2), minval=1.5,
+                               maxval=4.0)
+
+        def value(pt):
+            f, _ = rbf.get_spline(g, pt[None, :])
+            return f[0]
+
+        f, fx = rbf.get_spline(g, x)
+        for i in range(3):
+            gi = jax.grad(value)(x[i])
+            np.testing.assert_allclose(fx[i], gi, rtol=1e-4, atol=1e-7)
+
+    def test_solve_grad_reconstructs(self):
+        """SolveGrad fits stencil values so a following Get reproduces the
+        requested (value, gradient) samples."""
+        from adjointnonlinearraytracing_tpu.fields import rbf
+
+        res, h = 12, 0.5
+        zero = rbf.RbfGrid(jnp.zeros((res, res)), jnp.zeros((res, res)), h)
+        x = jnp.array([[2.7, 3.1]])
+        f = jnp.array([1.5])
+        fx = jnp.array([[0.3, -0.2]])
+        out = rbf.solve_grad(zero, x, f, fx)
+        rendered = out.render()
+        rg = rbf.RbfGrid(rendered, jnp.zeros_like(rendered), h)
+        f2, fx2 = rbf.get(rg, x)
+        np.testing.assert_allclose(f2, f, rtol=0.05)
+
+    def test_splat_grad_runs(self):
+        from adjointnonlinearraytracing_tpu.fields import rbf
+
+        zero = rbf.RbfGrid(jnp.zeros((12, 12)), jnp.zeros((12, 12)), 0.5)
+        x = jnp.array([[2.7, 3.1], [1.2, 2.2]])
+        out = rbf.splat_grad(zero, x, jnp.ones(2), 0.1 * jnp.ones((2, 2)))
+        assert jnp.isfinite(out.scene).all()
+        assert float(out.weights.sum()) > 0
