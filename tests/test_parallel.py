@@ -144,3 +144,23 @@ class TestShardedExact:
         g = jax.grad(lambda r: jnp.sum(
             tracer.trace_exact(r, x, v, h, ds, 8)[0] ** 2))(rif)
         np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
+
+
+class TestAutoPad:
+    def test_make_trace_mesh_handles_indivisible_counts(self):
+        from adjointnonlinearraytracing_tpu.experiments import common
+
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(13, res, h, seed=4)  # 13 not divisible by 8
+        trace = common.make_trace(8.0, 0.5, use_mesh=True)
+
+        xt, vt = trace(rif, x, v)
+        assert xt.shape == (13, 3)
+        ref = common.make_trace(8.0, 0.5)(rif, x, v)
+        np.testing.assert_allclose(xt, ref[0], atol=1e-12)
+
+        g = jax.grad(lambda r: jnp.sum(trace(r, x, v)[0] ** 2))(rif)
+        g_ref = jax.grad(lambda r: jnp.sum(
+            common.make_trace(8.0, 0.5)(r, x, v)[0] ** 2))(rif)
+        np.testing.assert_allclose(g, g_ref, rtol=1e-10, atol=1e-12)
