@@ -42,9 +42,16 @@ def boundary_interior_mask(shape) -> jax.Array:
 
 
 def upres_scene(n: jax.Array, res: int) -> jax.Array:
-    """Resample the field to ``res`` per axis in f64 (optimizer.py:7-10)."""
+    """Resample the field to ``res`` per axis (optimizer.py:7-10).
+
+    The reference upsamples in double precision; we do so when x64 is
+    enabled (CPU validation runs), otherwise stay in the field dtype —
+    trilinear resampling of f32 data loses nothing measurable and avoids
+    the truncation warning on f32-only backends."""
     target = tuple(res for _ in n.shape)
-    return upres_volume(n.astype(jnp.float64), target).astype(n.dtype)
+    if jax.config.jax_enable_x64:
+        return upres_volume(n.astype(jnp.float64), target).astype(n.dtype)
+    return upres_volume(n, target)
 
 
 def upres_adam_state(state: optax.ScaleByAdamState, res: int) -> optax.ScaleByAdamState:
