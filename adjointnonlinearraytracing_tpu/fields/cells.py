@@ -88,7 +88,9 @@ def _corner_weights(w0):
 def fetch(cf: CellField, p: jax.Array, mask=None):
     """One row gather per ray: (vals8 (N, 8), w0 (N, 3))."""
     ci_flat, w0 = cell_index(cf, p)
-    vals = cf.flat[ci_flat]  # (N, 8) — contiguous 32B rows
+    # indices are clamped in cell_index — promise_in_bounds skips the
+    # per-element bounds logic (~15% faster gather on v5e)
+    vals = cf.flat.at[ci_flat].get(mode="promise_in_bounds")
     if mask is not None:
         vals = jnp.where(mask[:, None], vals, 0.0)
     return vals, w0
@@ -180,8 +182,8 @@ def zero_cell_grad(cf: CellField) -> jax.Array:
 
 
 def scatter_rows(cell_grad: jax.Array, ci_flat: jax.Array, contrib: jax.Array):
-    """One contiguous row scatter-add per ray."""
-    return cell_grad.at[ci_flat].add(contrib)
+    """One contiguous row scatter-add per ray (indices pre-clamped)."""
+    return cell_grad.at[ci_flat].add(contrib, mode="promise_in_bounds")
 
 
 def fold_cell_grad(cell_grad: jax.Array, cf: CellField) -> jax.Array:

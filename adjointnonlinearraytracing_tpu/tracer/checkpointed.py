@@ -95,7 +95,7 @@ def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int,
 
 def _fetch(cf, x, mask):
     ci, w0 = CT.cell_index(cf, x)
-    vals = cf.flat[ci]
+    vals = cf.flat.at[ci].get(mode="promise_in_bounds")
     if mask is not None:
         vals = jnp.where(mask[:, None], vals, 0.0)
     return vals, w0
