@@ -98,13 +98,20 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
                               gradient=params.get("gradient"))
 
     # measurement rays are FIXED across the optimization (fuel_injection_opt
-    # traces the GT once, :85-86)
+    # traces the GT once, :85-86).  Materialize them to host numpy so the
+    # jitted steps embed plain constants instead of holding device buffers
+    # (a closed-over device array forces a device->host pull at trace time,
+    # which is fragile over remote backends).
+    import numpy as _np
+
     rays, rpv = gen_start_rays(jax.random.PRNGKey(seed), spp)
     x_gt, v_gt = trace(gtruth, rays.x, rays.v)
     x_gt, v_gt = sensors.trace_rays_to_plane(
         (x_gt, v_gt), (rays.planes[:, 0, :], rays.planes[:, 1, :]))
-    x_gt = jax.lax.stop_gradient(x_gt)
-    v_gt = jax.lax.stop_gradient(v_gt)
+    x_gt = _np.asarray(x_gt)
+    v_gt = _np.asarray(v_gt)
+    rays = S.Rays(_np.asarray(rays.x), _np.asarray(rays.v),
+                  _np.asarray(rays.planes), _np.asarray(rays.mask))
 
     def loss_function(eta, key):
         xm, vm = trace(eta, rays.x, rays.v)
