@@ -21,20 +21,9 @@ import numpy as np
 
 
 def _case(res, nrays, span=20.0, dtype="float32"):
-    import jax.numpy as jnp
+    from .scenes import build_case
 
-    idx = np.arange(res) * (span / (res - 1))
-    z, y, x = np.meshgrid(idx, idx, idx, indexing="ij")
-    c = span / 2
-    r2 = (x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2
-    rif = jnp.asarray(1.0 + 0.2 * np.exp(-r2 / (2 * (span / 4) ** 2)), dtype)
-    rng = np.random.default_rng(0)
-    xz = rng.uniform(0.2 * span, 0.8 * span, (nrays, 2))
-    x0 = np.stack([xz[:, 0], -0.1 * np.ones(nrays), xz[:, 1]], axis=-1)
-    tilt = 0.08 * rng.standard_normal((nrays, 2))
-    v0 = np.stack([tilt[:, 0], np.ones(nrays), tilt[:, 1]], axis=-1)
-    v0 /= np.linalg.norm(v0, axis=-1, keepdims=True)
-    return rif, jnp.asarray(x0, dtype), jnp.asarray(v0, dtype), span
+    return build_case(res=res, nrays=nrays, span=span, dtype=dtype)
 
 
 def _mem_stats():

@@ -68,16 +68,15 @@ def make_trace(vol_span, ds, autodiff=False, use_mesh=False, res=None,
             if key not in cache:
                 cache[key] = pmesh.make_sharded_trace(
                     the_mesh, h, ds, max(nt.shape))
-            # pad the ray axis to the device count; padding rays start far
-            # outside moving away (escape immediately) and their sliced-off
-            # cotangents are zero, so results and gradients are unaffected
+            # pad the ray axis to the device count with COPIES of ray 0:
+            # identical dynamics (no effect on fwd/bwd early exit) and the
+            # sliced-off cotangents are zero, so gradients are unaffected
             n = x.shape[0]
             ndev = the_mesh.devices.size
             if n % ndev:
-                span = h * (nt.shape[0] - 1)
                 pad = (-n) % ndev
-                xpad = jnp.full((pad, 3), -4.0 * span, dtype=x.dtype)
-                vpad = jnp.full((pad, 3), -1.0, dtype=v.dtype)
+                xpad = jnp.tile(x[:1], (pad, 1))
+                vpad = jnp.tile(v[:1], (pad, 1))
                 xt, vt = cache[key](nt, jnp.concatenate([x, xpad]),
                                     jnp.concatenate([v, vpad]))
                 return xt[:n], vt[:n]

@@ -115,7 +115,9 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
         sp = rays.planes[:, 0, :] + hop * sn
         xm, vm, dist2 = trace(nt, rays.x, rays.v, sp)
         eps_mask = (dist2 > plane_eps ** 2) & rays.mask
-        nrays = rays.x.shape[0]
+        # normalize by the LIVE ray count (reference nrays is post-crop,
+        # fiber_opt.py:135; the static batch includes circle-cropped rays)
+        nrays = jnp.maximum(rays.mask.sum(), 1)
         loss_vec = jnp.where(eps_mask[:, None], (xm - sp) ** 2, 0.0) \
             / nrays / cable_radius
         return jnp.sum(loss_vec) / camera_span, (xm, vm)

@@ -86,14 +86,17 @@ def _corner_weights(w0):
 
 
 def fetch(cf: CellField, p: jax.Array, mask=None):
-    """One row gather per ray: (vals8 (N, 8), w0 (N, 3))."""
+    """One row gather per ray: (vals8 (N, 8), w0 (N, 3), ci (N,)).
+
+    The single implementation used by every stepper (fast, checkpointed).
+    Indices are clamped in cell_index — promise_in_bounds skips the
+    per-element bounds logic (~15% faster gather on v5e).
+    """
     ci_flat, w0 = cell_index(cf, p)
-    # indices are clamped in cell_index — promise_in_bounds skips the
-    # per-element bounds logic (~15% faster gather on v5e)
     vals = cf.flat.at[ci_flat].get(mode="promise_in_bounds")
     if mask is not None:
         vals = jnp.where(mask[:, None], vals, 0.0)
-    return vals, w0
+    return vals, w0, ci_flat
 
 
 def eval_grad_from(vals: jax.Array, w0: jax.Array, h):

@@ -21,8 +21,8 @@
 extern "C" {
 
 // Returns the number of emitted triplets.  Caller must size out_* to at
-// least num_rays * (3 * res + 2) entries (a linear path crosses at most
-// ~3*res voxel boundaries in 3D).
+// least num_rays * (int_res + 1) entries (at most one emit per substep
+// plus the final flush; see loader.py).
 int64_t accumulate_linear_paths(
     const double* spos,   // (num_rays, dim) entry points
     const double* epos,   // (num_rays, dim) exit points

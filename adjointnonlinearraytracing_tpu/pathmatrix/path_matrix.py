@@ -75,7 +75,8 @@ def construct_voxel_matrix(spos, sdir, epos, edir, dim, res, spline="linear",
     length into the (ray, previous_voxel) entry.
     """
     if spos.size == 0:
-        return np.zeros_like(spos), np.zeros_like(spos)
+        dimension = spos.shape[1] if spos.ndim == 2 else 3
+        return coo_matrix((0, res ** dimension)).tocsr()
     num_rays, dimension = spos.shape
 
     if spline == "linear":

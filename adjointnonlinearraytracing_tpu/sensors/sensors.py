@@ -125,21 +125,16 @@ def generate_pleno_sensor(rays, e, plane, bins, span, angle_span=120,
     fs = jnp.abs(jnp.einsum("nd,nd->n", v, jnp.broadcast_to(n, v.shape)))
     fe = jnp.broadcast_to(jnp.asarray(e, dtype=x.dtype), fs.shape) * fs
 
-    # outer product of the two stencils: (N, Cx, Cv)
-    contrib = (wxe[:, :, None] * wve[:, None, :] * fe[:, None, None])
-    contrib = jnp.where(xvalid[:, :, None], contrib, 0.0)
+    # the reference pairs corner c of the position stencil with corner c of
+    # the direction stencil (index_put_ with the concatenated index lists,
+    # sensor.py:84-98) — a diagonal deposit, NOT the outer product
+    contrib = jnp.where(xvalid, wxe * wve * fe[:, None], 0.0)  # (N, C)
 
     xib = [jnp.clip(jnp.swapaxes(ix, 0, 1), 0, bins[0] - 1) for ix in xidx]
     vib = [jnp.clip(jnp.swapaxes(ix, 0, 1), 0, bins[2] - 1) for ix in vidx]
 
     pleno = jnp.zeros(tuple(bins), dtype=x.dtype)
-    idx = (
-        jnp.broadcast_to(xib[0][:, :, None], contrib.shape),
-        jnp.broadcast_to(xib[1][:, :, None], contrib.shape),
-        jnp.broadcast_to(vib[0][:, None, :], contrib.shape),
-        jnp.broadcast_to(vib[1][:, None, :], contrib.shape),
-    )
-    pleno = pleno.at[idx].add(contrib)
+    pleno = pleno.at[xib[0], xib[1], vib[0], vib[1]].add(contrib)
     return pleno
 
 

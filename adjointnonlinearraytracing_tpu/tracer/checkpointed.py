@@ -77,7 +77,9 @@ def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int,
             def body(j, cr):
                 cr2, _ = step(cr, s * seg + j)
                 return cr2
-            return lax.fori_loop(0, seg, body, carry)
+            # the last segment may be partial: run exactly max_steps total
+            nsteps = jnp.minimum(seg, max_steps - s * seg)
+            return lax.fori_loop(0, nsteps, body, carry)
 
         carry2 = lax.cond(jnp.all(esc), lambda cr: cr, run, carry)
         return carry2, ck
@@ -94,10 +96,7 @@ def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int,
 
 
 def _fetch(cf, x, mask):
-    ci, w0 = CT.cell_index(cf, x)
-    vals = cf.flat.at[ci].get(mode="promise_in_bounds")
-    if mask is not None:
-        vals = jnp.where(mask[:, None], vals, 0.0)
+    vals, w0, _ = CT.fetch(cf, x, mask)
     return vals, w0
 
 
@@ -146,8 +145,7 @@ def _backward_segments(field: GridField, ckpts, c, dx, dv, ds, max_steps: int,
                 xk = xs[j]
                 gate = k < c                         # contributes iff before capture
                 emask = gate & G.inbounds(field, xk)
-                vals, w0 = _fetch(cf, xk, emask)
-                ci, _ = CT.cell_index(cf, xk)
+                vals, w0, ci = CT.fetch(cf, xk, emask)
                 nv, nx = CT.eval_grad_from(vals, w0, field.h)
                 hess = CT.eval_hess_from(vals, w0, field.h)
 

@@ -23,10 +23,7 @@ def _where3(m, a, b):
 
 
 def _eval(cf, x, mask, h):
-    ci, w0 = CT.cell_index(cf, x)
-    vals = cf.flat.at[ci].get(mode="promise_in_bounds")
-    if mask is not None:
-        vals = jnp.where(mask[:, None], vals, 0.0)
+    vals, w0, ci = CT.fetch(cf, x, mask)
     n, nx = CT.eval_grad_from(vals, w0, h)
     return n, nx, vals, w0, ci
 
@@ -181,8 +178,7 @@ def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
         # (see fields.grid.snap_to_nodes)
         xe = G.snap_to_nodes(x, field.h)
         emask = active & G.inbounds(field, xe)
-        ci, w0 = CT.cell_index(cf, xe)
-        vals = jnp.where(emask[:, None], cf.flat.at[ci].get(mode="promise_in_bounds"), 0.0)
+        vals, w0, ci = CT.fetch(cf, xe, emask)
         n, nx = CT.eval_grad_from(vals, w0, field.h)
         hess = CT.eval_hess_from(vals, w0, field.h)
         v = v - (ds * n)[:, None] * nx
@@ -227,8 +223,7 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
         x = x - ds * v
         xe = G.snap_to_nodes(x, field.h)
         emask = active & G.inbounds(field, xe)
-        ci, w0 = CT.cell_index(cf, xe)
-        vals = jnp.where(emask[:, None], cf.flat.at[ci].get(mode="promise_in_bounds"), 0.0)
+        vals, w0, ci = CT.fetch(cf, xe, emask)
         n, nx = CT.eval_grad_from(vals, w0, field.h)
         hess = CT.eval_hess_from(vals, w0, field.h)
         v = v - (ds * n)[:, None] * nx

@@ -19,24 +19,9 @@ import numpy as np
 
 
 def build_case(res=128, nrays=1 << 18, span=20.0, dtype="float32"):
-    import jax
-    import jax.numpy as jnp
+    from adjointnonlinearraytracing_tpu.benchmarks.scenes import build_case as _b
 
-    idx = np.arange(res) * (span / (res - 1))
-    z, y, x = np.meshgrid(idx, idx, idx, indexing="ij")
-    c = span / 2
-    r2 = (x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2
-    rif = jnp.asarray(1.0 + 0.2 * np.exp(-r2 / (2 * (span / 4) ** 2)),
-                      dtype=dtype)
-
-    rng = np.random.default_rng(0)
-    xz = rng.uniform(0.2 * span, 0.8 * span, (nrays, 2))
-    x0 = np.stack([xz[:, 0], -0.25 * np.ones(nrays) * span / res, xz[:, 1]],
-                  axis=-1)
-    tilt = 0.08 * rng.standard_normal((nrays, 2))
-    v0 = np.stack([tilt[:, 0], np.ones(nrays), tilt[:, 1]], axis=-1)
-    v0 /= np.linalg.norm(v0, axis=-1, keepdims=True)
-    return rif, jnp.asarray(x0, dtype), jnp.asarray(v0, dtype), span
+    return _b(res=res, nrays=nrays, span=span, dtype=dtype)
 
 
 def _wait_for_backend(tries=8, delay=45):

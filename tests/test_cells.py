@@ -29,7 +29,7 @@ class TestCellTable:
                                minval=-2 * span, maxval=3 * span),
         ])
         n_ref, nx_ref = G.eval_grad(f, p)
-        vals, w0 = CT.fetch(cf, p)
+        vals, w0, _ = CT.fetch(cf, p)
         n, nx = CT.eval_grad_from(vals, w0, f.h)
         np.testing.assert_allclose(n, n_ref, atol=1e-12)
         np.testing.assert_allclose(nx, nx_ref, atol=1e-12)
@@ -41,7 +41,7 @@ class TestCellTable:
                                maxval=3.0)
         mask = jnp.arange(16) % 2 == 0
         n_ref, nx_ref = G.eval_grad(f, p, mask)
-        vals, w0 = CT.fetch(cf, p, mask)
+        vals, w0, _ = CT.fetch(cf, p, mask)
         n, nx = CT.eval_grad_from(vals, w0, f.h)
         np.testing.assert_allclose(n, n_ref, atol=1e-12)
         np.testing.assert_allclose(nx, nx_ref, atol=1e-12)
@@ -52,7 +52,7 @@ class TestCellTable:
         p = jax.random.uniform(jax.random.PRNGKey(6), (32, 3), minval=0.5,
                                maxval=4.0)
         h_ref = G.eval_hess(f, p)
-        vals, w0 = CT.fetch(cf, p)
+        vals, w0, _ = CT.fetch(cf, p)
         h_fast = CT.eval_hess_from(vals, w0, f.h)
         for a, b in zip(h_fast, h_ref):
             np.testing.assert_allclose(a, b, atol=1e-12)
