@@ -51,6 +51,17 @@ def get_lib():
             ctypes.c_int32,                     # int_res
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out buffers
         ]
+        gp = lib.accumulate_paths
+        gp.restype = ctypes.c_int64
+        gp.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,   # spos, sdir
+            ctypes.c_void_p, ctypes.c_void_p,   # epos, edir
+            ctypes.c_int64, ctypes.c_int32,     # num_rays, dim_count
+            ctypes.c_double, ctypes.c_int32,    # box_dim, res
+            ctypes.c_int32, ctypes.c_int32,     # int_res, mode
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # path buffers
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out buffers
+        ]
         _lib = lib
         return _lib
 
@@ -77,5 +88,55 @@ def accumulate_linear_paths(spos, epos, box_dim, res, int_res):
         ctypes.c_int64(num_rays), ctypes.c_int32(dim),
         ctypes.c_double(box_dim), ctypes.c_int32(res),
         ctypes.c_int32(int_res),
+        data.ctypes.data, row.ctypes.data, col.ctypes.data)
+    return data[:n], row[:n], col[:n]
+
+
+_MODES = {"linear": 0, "hermite": 1, "true": 2}
+
+
+def accumulate_paths(spos, sdir, epos, edir, box_dim, res, int_res,
+                     spline="linear", path=None, path_start=None,
+                     path_end=None):
+    """Native marching over linear/hermite/recorded paths.
+
+    Returns (data, row, col) numpy arrays, or None when the native library is
+    unavailable (callers keep the pure-numpy marcher).  For ``spline='true'``,
+    ``path`` is the flattened (steps * num_rays, dim) trajectory buffer and
+    ``path_start``/``path_end`` the per-ray fractional step bounds, exactly as
+    in path_matrix.get_true_path.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    mode = _MODES[spline]
+    spos = np.ascontiguousarray(spos, dtype=np.float64)
+    epos = np.ascontiguousarray(epos, dtype=np.float64)
+    num_rays, dim = spos.shape
+
+    def _buf(a):
+        if a is None:
+            return None, 0
+        a = np.ascontiguousarray(a, dtype=np.float64)
+        return a, a.ctypes.data
+
+    sdir, sdir_p = _buf(sdir if mode == 1 else None)
+    edir, edir_p = _buf(edir if mode == 1 else None)
+    path, path_p = _buf(path if mode == 2 else None)
+    pstart, pstart_p = _buf(path_start if mode == 2 else None)
+    pend, pend_p = _buf(path_end if mode == 2 else None)
+
+    cap = num_rays * (int_res + 1)
+    data = np.empty(cap, dtype=np.float64)
+    row = np.empty(cap, dtype=np.int64)
+    col = np.empty(cap, dtype=np.int64)
+    n = lib.accumulate_paths(
+        spos.ctypes.data, sdir_p, epos.ctypes.data, edir_p,
+        ctypes.c_int64(num_rays), ctypes.c_int32(dim),
+        ctypes.c_double(box_dim), ctypes.c_int32(res),
+        ctypes.c_int32(int_res), ctypes.c_int32(mode),
+        path_p, pstart_p, pend_p,
         data.ctypes.data, row.ctypes.data, col.ctypes.data)
     return data[:n], row[:n], col[:n]

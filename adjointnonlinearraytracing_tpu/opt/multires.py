@@ -91,6 +91,7 @@ def multires_opt(
     lr_decay: float = 0.5,
     save_fn: Optional[Callable] = None,
     resume_from: Optional[str] = None,
+    ckpt_backend: str = "npz",
 ) -> Tuple[jax.Array, List[float]]:
     """Run the multi-resolution Adam loop (optimizer.py:44-84).
 
@@ -150,7 +151,8 @@ def multires_opt(
             iteration_count += 1
 
         if statename is not None:
-            save_checkpoint(statename, n, opt_state, loss_hist, key)
+            save_checkpoint(statename, n, opt_state, loss_hist, key,
+                            backend=ckpt_backend)
         if save_fn is not None:
             save_fn(res_iter, n, opt_state, loss_hist)
 
@@ -175,9 +177,19 @@ def multires_opt(
 # checkpoint / resume (the reference saves but never loads; we support both)
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(path: str, n, opt_state, loss_hist, key):
-    """Persist (field, Adam moments, loss history, rng key) to ``path``.npz."""
+def save_checkpoint(path: str, n, opt_state, loss_hist, key,
+                    backend: str = "npz"):
+    """Persist (field, Adam moments, loss history, rng key).
+
+    ``backend='npz'`` writes a single ``path``.npz (default; no extra deps).
+    ``backend='orbax'`` writes an orbax PyTree checkpoint directory at
+    ``path`` — the production option for multi-host runs, where each host
+    writes its addressable shards and restore re-shards onto the live mesh.
+    """
     _, adam = _find_adam_state(opt_state)
+    if backend == "orbax":
+        _orbax_save(path, n, adam, loss_hist, key)
+        return
     np.savez(
         path,
         rif=np.asarray(n),
@@ -189,11 +201,48 @@ def save_checkpoint(path: str, n, opt_state, loss_hist, key):
     )
 
 
+def _orbax_save(path, n, adam, loss_hist, key):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    tree = {
+        "rif": n,
+        "adam_count": adam.count,
+        "adam_mu": adam.mu,
+        "adam_nu": adam.nu,
+        "loss_hist": jnp.asarray(loss_hist, dtype=jnp.float32),
+        "key": key,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def _orbax_load(path):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        z = ckptr.restore(os.path.abspath(path))
+    return z
+
+
 def load_checkpoint(path: str, lr: float):
-    """Restore (field, optimizer+state, loss history, key) from ``path``.npz."""
-    if not path.endswith(".npz"):
+    """Restore (field, optimizer+state, loss history, key) from ``path``.
+
+    Accepts either an ``.npz`` file (default backend) or an orbax checkpoint
+    directory (auto-detected).
+    """
+    import os
+
+    if os.path.isdir(path):
+        z = _orbax_load(path)
+    elif not path.endswith(".npz"):
         path = path + ".npz"
-    z = np.load(path)
+        z = np.load(path)
+    else:
+        z = np.load(path)
     n = jnp.asarray(z["rif"])
     opt = optax.adam(lr)
     opt_state = opt.init(n)

@@ -79,14 +79,16 @@ def construct_voxel_matrix(spos, sdir, epos, edir, dim, res, spline="linear",
         return coo_matrix((0, res ** dimension)).tocsr()
     num_rays, dimension = spos.shape
 
-    if spline == "linear":
+    if spline in ("linear", "hermite") or (spline == "true"
+                                           and path is not None):
         # native single-pass marcher when the toolchain is available
-        from ..native.loader import accumulate_linear_paths
+        from ..native.loader import accumulate_paths
 
         box_dim = dim / max(1, res)
-        native = accumulate_linear_paths(
-            np.asarray(spos, np.float64), np.asarray(epos, np.float64),
-            box_dim, res, int_res)
+        pbuf, ps, pe = path if spline == "true" else (None, None, None)
+        native = accumulate_paths(
+            spos, sdir, epos, edir, box_dim, res, int_res,
+            spline=spline, path=pbuf, path_start=ps, path_end=pe)
         if native is not None:
             data, row, col = native
             phi = coo_matrix((data, (row, col)),

@@ -69,11 +69,21 @@ def main():
     g = fwd_bwd(rif, x0, v0)
     jax.block_until_ready(g)
 
+    # BENCH_PROFILE=<dir>: capture a jax.profiler trace of the timed region
+    # (view with tensorboard or xprof; ROADMAP "profiling behind a flag")
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.perf_counter()
     for _ in range(iters):
         g = fwd_bwd(rif, x0, v0)
     jax.block_until_ready(g)
     dt = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"# profiler trace written to {profile_dir}", file=sys.stderr)
 
     rays_per_sec = nrays * iters / dt
 

@@ -203,6 +203,29 @@ class TestCheckpoint:
         np.testing.assert_allclose(n2, n)
         assert hist == [1.0, 0.5]
 
+    def test_orbax_backend_roundtrip(self, tmp_path):
+        import optax
+        from adjointnonlinearraytracing_tpu.opt import (
+            load_checkpoint, save_checkpoint)
+
+        n = jnp.arange(8.0).reshape(2, 2, 2)
+        opt = optax.adam(1e-3)
+        state = opt.init(n)
+        g = jnp.ones_like(n)
+        _, state = opt.update(g, state, n)
+        path = str(tmp_path / "ckpt_orbax")
+        save_checkpoint(path, n, state, [1.0, 0.5], jax.random.PRNGKey(3),
+                        backend="orbax")
+        n2, opt2, state2, hist, key = load_checkpoint(path, 1e-3)
+        np.testing.assert_allclose(n2, n)
+        np.testing.assert_allclose(np.asarray(hist), [1.0, 0.5])
+        from adjointnonlinearraytracing_tpu.opt.multires import \
+            _find_adam_state
+        _, a1 = _find_adam_state(state)
+        _, a2 = _find_adam_state(state2)
+        np.testing.assert_allclose(a2.mu, a1.mu)
+        np.testing.assert_allclose(a2.nu, a1.nu)
+
     def test_moment_upsampling(self):
         import optax
         from adjointnonlinearraytracing_tpu.opt import upres_adam_state

@@ -58,6 +58,50 @@ class TestNative:
         diff = (phi_native - phi_py)
         assert abs(diff).max() < 1e-9
 
+    def test_hermite_matches_python(self, monkeypatch):
+        if loader.get_lib() is None:
+            pytest.skip("no g++ toolchain")
+        rng = np.random.default_rng(1)
+        n = 32
+        sp = rng.uniform(0.1, 0.9, (n, 3))
+        ep = rng.uniform(0.1, 0.9, (n, 3))
+        sd = rng.normal(0, 0.2, (n, 3))
+        ed = rng.normal(0, 0.2, (n, 3))
+        phi_native = PM.construct_voxel_matrix(sp, sd, ep, ed, 1.0, 8,
+                                               spline="hermite", int_res=60)
+        monkeypatch.setattr(loader, "accumulate_paths", lambda *a, **k: None)
+        phi_py = PM.construct_voxel_matrix(sp, sd, ep, ed, 1.0, 8,
+                                           spline="hermite", int_res=60)
+        assert abs(phi_native - phi_py).max() < 1e-9
+
+    def test_true_path_matches_python(self, monkeypatch):
+        if loader.get_lib() is None:
+            pytest.skip("no g++ toolchain")
+        rng = np.random.default_rng(2)
+        n, steps = 16, 12
+        # recorded trajectories: smooth per-ray curves, flattened so that
+        # ray r's step s lives at row s*n + r (get_true_path layout)
+        traj = np.empty((steps, n, 3))
+        a = rng.uniform(0.1, 0.4, (n, 3))
+        b = rng.uniform(0.6, 0.9, (n, 3))
+        bend = rng.normal(0, 0.05, (n, 3))
+        for s in range(steps):
+            t = s / (steps - 1)
+            traj[s] = (1 - t) * a + t * b + np.sin(np.pi * t) * bend
+        path = traj.reshape(steps * n, 3)
+        pstart = np.zeros(n)
+        pend = np.full(n, float(steps - 1))
+        sp, ep = traj[0], traj[-1]
+        v = ep - sp
+        phi_native = PM.construct_voxel_matrix(
+            sp, v, ep, v, 1.0, 8, spline="true", int_res=70,
+            path=(path, pstart, pend))
+        monkeypatch.setattr(loader, "accumulate_paths", lambda *a, **k: None)
+        phi_py = PM.construct_voxel_matrix(
+            sp, v, ep, v, 1.0, 8, spline="true", int_res=70,
+            path=(path, pstart, pend))
+        assert abs(phi_native - phi_py).max() < 1e-9
+
     def test_row_sums_are_chord_lengths(self):
         if loader.get_lib() is None:
             pytest.skip("no g++ toolchain")
