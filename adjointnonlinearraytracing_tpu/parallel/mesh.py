@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields.grid import GridField
+from ..tracer import api as _api
 from ..tracer import eikonal as E
 from ..tracer import fast as F
 
@@ -87,7 +88,8 @@ def make_sharded_trace(mesh: Mesh, h: float, ds: float, res_max: int):
     ray_spec = P("rays", None)
 
     def _fwd_local(rif, x, v):
-        return F.trace(GridField(rif, h), x, v, ds, steps_f)
+        return _api._impl(rif, h, ds).trace(GridField(rif, h), x, v, ds,
+                                            steps_f)
 
     fwd_sharded = shard_map(
         _fwd_local, mesh=mesh,
@@ -96,8 +98,9 @@ def make_sharded_trace(mesh: Mesh, h: float, ds: float, res_max: int):
     )
 
     def _bwd_local(rif, xt, vt, dxt, dvt):
-        g = F.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
-                        axis_name="rays")
+        g = _api._impl(rif, h, ds).backtrace(
+            GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
+            axis_name="rays")
         return jax.lax.psum(g, "rays")
 
     bwd_sharded = shard_map(
@@ -131,7 +134,8 @@ def make_sharded_trace_plane(mesh: Mesh, h: float, ds: float, res_max: int):
     ray_spec = P("rays", None)
 
     def _fwd_local(rif, x, v, po, pd):
-        return F.trace_plane(GridField(rif, h), x, v, po, pd, ds, steps_f)
+        return _api._impl(rif, h, ds).trace_plane(GridField(rif, h), x, v,
+                                                  po, pd, ds, steps_f)
 
     fwd_sharded = shard_map(
         _fwd_local, mesh=mesh,
@@ -140,8 +144,9 @@ def make_sharded_trace_plane(mesh: Mesh, h: float, ds: float, res_max: int):
     )
 
     def _bwd_local(rif, xt, vt, dxt, dvt):
-        g = F.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
-                        axis_name="rays")
+        g = _api._impl(rif, h, ds).backtrace(
+            GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
+            axis_name="rays")
         return jax.lax.psum(g, "rays")
 
     bwd_sharded = shard_map(
@@ -178,7 +183,8 @@ def make_sharded_trace_target(mesh: Mesh, h: float, ds: float, res_max: int):
     ray_spec = P("rays", None)
 
     def _fwd_local(rif, x, v, tgt):
-        return F.trace_target(GridField(rif, h), x, v, tgt, ds, steps_f)
+        return _api._impl(rif, h, ds).trace_target(GridField(rif, h), x, v,
+                                                   tgt, ds, steps_f)
 
     fwd_sharded = shard_map(
         _fwd_local, mesh=mesh,
@@ -187,8 +193,9 @@ def make_sharded_trace_target(mesh: Mesh, h: float, ds: float, res_max: int):
     )
 
     def _bwd_local(rif, xt, vt, dxt, dvt):
-        g = F.backtrace(GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
-                        axis_name="rays")
+        g = _api._impl(rif, h, ds).backtrace(
+            GridField(rif, h), xt, vt, dxt, dvt, ds, steps_b,
+            axis_name="rays")
         return jax.lax.psum(g, "rays")
 
     bwd_sharded = shard_map(

@@ -23,6 +23,7 @@ inputs or the `*_ad` tape variants when optimizing non-smooth fields.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -30,8 +31,10 @@ import jax.numpy as jnp
 
 from ..fields.grid import GridField
 from ..fields.cylinder import CylinderField
+from ..fields import windows as WD
 from . import eikonal as E
 from . import fast as F
+from . import paired as PD
 
 
 def _check_rays(x, v, name="trace"):
@@ -49,6 +52,29 @@ def _check_rif(rif, name="trace"):
 
 def _grid(rif, h):
     return GridField(rif, h)
+
+
+def _impl(rif, h, ds):
+    """Static fast-path selection: paired window stepper vs classic cell table.
+
+    The paired stepper (tracer/paired.py) needs per-step movement
+    ``ds * n <= h``; with the physical bound n <= 2 that is ``ds <= h/2``
+    (every reference experiment satisfies it — peak index sqrt(2)).  Its
+    window table costs 64 floats per extended cell, so huge grids fall back
+    to the classic path.  Env overrides: ANRT_FAST_PATH=paired|classic|auto,
+    ANRT_WINDOW_MEM_MB (default 6144).
+    """
+    mode = os.environ.get("ANRT_FAST_PATH", "auto")
+    if mode == "classic":
+        return F
+    if mode == "paired":
+        return PD
+    if float(ds) > float(h) / 2 * (1 + 1e-12):
+        return F
+    limit = int(os.environ.get("ANRT_WINDOW_MEM_MB", "6144")) << 20
+    if WD.window_bytes(rif.shape, rif.dtype.itemsize) > limit:
+        return F
+    return PD
 
 
 def _steps_fwd(rif, h, ds):
@@ -71,18 +97,21 @@ def trace(rif, x, v, h, ds):
     constant-memory adjoint (BackTracerC, core/tracer.py:294-335).
     """
     _check_rif(rif); _check_rays(x, v)
-    return F.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
+    return _impl(rif, h, ds).trace(_grid(rif, h), x, v, ds,
+                                    _steps_fwd(rif, h, ds))
 
 
 def _trace_fwd(rif, x, v, h, ds):
-    out = F.trace(_grid(rif, h), x, v, ds, _steps_fwd(rif, h, ds))
+    out = _impl(rif, h, ds).trace(_grid(rif, h), x, v, ds,
+                                  _steps_fwd(rif, h, ds))
     return out, (rif, out[0], out[1])
 
 
 def _trace_bwd(h, ds, res, cts):
     rif, xt, vt = res
     dxt, dvt = cts
-    g = F.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    g = _impl(rif, h, ds).backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds,
+                                    _steps_bwd(rif, h, ds))
     return g.reshape(rif.shape), jnp.zeros_like(xt), jnp.zeros_like(vt)
 
 
@@ -100,13 +129,13 @@ def trace_plane(rif, x, v, pln_o, pln_d, h, ds):
     ``miss`` marks rays that never exited; their position cotangent is zeroed
     in the backward pass (core/tracer.py:366-371).
     """
-    return F.trace_plane(_grid(rif, h), x, v, pln_o, pln_d, ds,
-                         _steps_fwd(rif, h, ds))
+    return _impl(rif, h, ds).trace_plane(_grid(rif, h), x, v, pln_o, pln_d,
+                                         ds, _steps_fwd(rif, h, ds))
 
 
 def _trace_plane_fwd(rif, x, v, pln_o, pln_d, h, ds):
-    out = F.trace_plane(_grid(rif, h), x, v, pln_o, pln_d, ds,
-                        _steps_fwd(rif, h, ds))
+    out = _impl(rif, h, ds).trace_plane(_grid(rif, h), x, v, pln_o, pln_d,
+                                        ds, _steps_fwd(rif, h, ds))
     xt, vt, miss = out
     return out, (rif, xt, vt, miss)
 
@@ -115,7 +144,8 @@ def _trace_plane_bwd(h, ds, res, cts):
     rif, xt, vt, miss = res
     dxt, dvt, _ = cts
     dxt = jnp.where(miss[:, None], 0.0, dxt)
-    g = F.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    g = _impl(rif, h, ds).backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds,
+                                    _steps_bwd(rif, h, ds))
     zeros3 = jnp.zeros_like(xt)
     return (g.reshape(rif.shape), zeros3, zeros3,
             jnp.zeros_like(xt), jnp.zeros_like(xt))
@@ -132,12 +162,13 @@ trace_plane.defvjp(_trace_plane_fwd, _trace_plane_bwd)
 def trace_target(rif, x, v, target, h, ds):
     """Trace recording closest approach to per-ray targets; returns
     (xt, vt, dist2).  dist2 carries no gradient (core/tracer.py:415-432)."""
-    return F.trace_target(_grid(rif, h), x, v, target, ds,
-                          _steps_fwd(rif, h, ds))
+    return _impl(rif, h, ds).trace_target(_grid(rif, h), x, v, target, ds,
+                                          _steps_fwd(rif, h, ds))
 
 
 def _trace_target_fwd(rif, x, v, target, h, ds):
-    out = F.trace_target(_grid(rif, h), x, v, target, ds, _steps_fwd(rif, h, ds))
+    out = _impl(rif, h, ds).trace_target(_grid(rif, h), x, v, target, ds,
+                                         _steps_fwd(rif, h, ds))
     xt, vt, d2 = out
     return out, (rif, xt, vt)
 
@@ -145,7 +176,8 @@ def _trace_target_fwd(rif, x, v, target, h, ds):
 def _trace_target_bwd(h, ds, res, cts):
     rif, xt, vt = res
     dxt, dvt, _ = cts
-    g = F.backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds, _steps_bwd(rif, h, ds))
+    g = _impl(rif, h, ds).backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds,
+                                    _steps_bwd(rif, h, ds))
     zeros3 = jnp.zeros_like(xt)
     return g.reshape(rif.shape), zeros3, zeros3, zeros3
 
@@ -164,20 +196,22 @@ def trace_sdf(rif, sdf, x, v, h, ds):
     Only rif receives a gradient; the sdf grid cotangent is zero
     (core/tracer.py:461-479)."""
     steps = int(2.0 * h * max(rif.shape) / ds)  # tracer.cpp:262
-    return F.trace_sdf(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
+    return _impl(rif, h, ds).trace_sdf(_grid(rif, h), _grid(sdf, h), x, v,
+                                       ds, steps)
 
 
 def _trace_sdf_fwd(rif, sdf, x, v, h, ds):
     steps = int(2.0 * h * max(rif.shape) / ds)
-    out = F.trace_sdf(_grid(rif, h), _grid(sdf, h), x, v, ds, steps)
+    out = _impl(rif, h, ds).trace_sdf(_grid(rif, h), _grid(sdf, h), x, v,
+                                      ds, steps)
     return out, (rif, sdf, out[0], out[1])
 
 
 def _trace_sdf_bwd(h, ds, res, cts):
     rif, sdf, xt, vt = res
     dxt, dvt = cts
-    g = F.backtrace_sdf(_grid(rif, h), _grid(sdf, h), xt, vt, dxt, dvt, ds,
-                        _steps_bwd(rif, h, ds))
+    g = _impl(rif, h, ds).backtrace_sdf(_grid(rif, h), _grid(sdf, h), xt, vt,
+                                        dxt, dvt, ds, _steps_bwd(rif, h, ds))
     zeros3 = jnp.zeros_like(xt)
     return g.reshape(rif.shape), jnp.zeros_like(sdf), zeros3, zeros3
 

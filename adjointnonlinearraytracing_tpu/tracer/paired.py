@@ -1,0 +1,403 @@
+"""Paired-step eikonal steppers on the node-window formulation.
+
+Numerically equivalent to tracer/fast.py (same per-step math, masks, exit
+capture — asserted by tests/test_paired.py) but each loop iteration performs
+TWO integration substeps from ONE (N, 64) window gather, and the adjoint
+scatters 64-wide supercell rows.  Measured on v5e this roughly doubles
+end-to-end fwd+adjoint throughput (fields/windows.py has the measurements).
+
+Validity: the window covers both substeps only when the per-step per-axis
+movement ``ds * |v| = ds * n`` stays <= h.  tracer/api.py selects this path
+when ``ds <= h/2`` (covers every reference experiment, all of which keep
+n <= sqrt(2)); otherwise the classic cell-table path runs.
+
+Reference parity anchors: forward step math tracer.cpp:68-71; exit capture
+:73-87; adjoint lambda/mu sweep tracer.cpp:384-440 (mu0 = dv + ds*dx).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..fields import cells as CT
+from ..fields import grid as G
+from ..fields import windows as WD
+
+
+def _where3(m, a, b):
+    return jnp.where(m[:, None], a, b)
+
+
+def _substep_fwd(field, wf, W, ci3_anchor, x, v, xt, vt, inside, esc, ds,
+                 valid):
+    """One forward substep evaluated from an already-gathered window."""
+    if ci3_anchor is None:
+        off3 = 1  # anchor cell itself: static offset
+        _, w0 = WD.cell_index3(wf, x)
+    else:
+        ci3, w0 = WD.cell_index3(wf, x)
+        off3 = WD.window_offsets(ci3_anchor, ci3)
+    n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
+    v2 = v + (ds * n)[:, None] * nx
+    x2 = x + ds * v2
+
+    cur_inside = G.inbounds(field, x2)
+    cross = inside & ~cur_inside
+    esc2 = esc | cross | G.escaped(field, x2, v2)
+    xt2 = _where3(cross, x2, xt)
+    vt2 = _where3(cross, v2, vt)
+    if valid is not None:
+        x2 = jnp.where(valid, x2, x)
+        v2 = jnp.where(valid, v2, v)
+        xt2 = jnp.where(valid, xt2, xt)
+        vt2 = jnp.where(valid, vt2, vt)
+        cur_inside = jnp.where(valid, cur_inside, inside)
+        esc2 = jnp.where(valid, esc2, esc)
+    return x2, v2, xt2, vt2, cur_inside, esc2
+
+
+def trace(field: G.GridField, x0, v0, ds, max_steps: int):
+    wf = WD.build_window_table(field)
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+
+    def cond(s):
+        step, *_, esc = s
+        return (step < max_steps) & ~jnp.all(esc)
+
+    def body(s):
+        step, x, v, xt, vt, inside, esc = s
+        ci3_a, _ = WD.cell_index3(wf, x)
+        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
+            mode="promise_in_bounds")
+        x, v, xt, vt, inside, esc = _substep_fwd(
+            field, wf, W, None, x, v, xt, vt, inside, esc, ds, None)
+        x, v, xt, vt, inside, esc = _substep_fwd(
+            field, wf, W, ci3_a, x, v, xt, vt, inside, esc, ds,
+            step + 1 < max_steps)
+        return (step + 2, x, v, xt, vt, inside, esc)
+
+    _, x, v, xt, vt, _, esc = lax.while_loop(
+        cond, body, (0, x0, v0, x0, v0, inside0, esc0))
+    xt = _where3(esc, xt, x)
+    return xt, vt
+
+
+def trace_plane(field: G.GridField, x0, v0, pln_o, pln_d, ds, max_steps: int):
+    wf = WD.build_window_table(field)
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+
+    def substep(W, ci3_a, x, v, xt, vt, inside, esc, valid):
+        if ci3_a is None:
+            off3 = 1
+            _, w0 = WD.cell_index3(wf, x)
+        else:
+            ci3, w0 = WD.cell_index3(wf, x)
+            off3 = WD.window_offsets(ci3_a, ci3)
+        n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
+        v2 = v + (ds * n)[:, None] * nx
+        x2 = x + ds * v2
+
+        past_pln = jnp.einsum("nd,nd->n", x2 - pln_o, pln_d) > 0
+        cur_inside = G.inbounds(field, x2) & ~past_pln
+        cross = inside & ~cur_inside
+        esc2 = esc | cross | G.escaped(field, x2, v2)
+        xt2 = _where3(cross, x2, xt)
+        vt2 = _where3(cross, v2, vt)
+        if valid is not None:
+            x2 = jnp.where(valid, x2, x)
+            v2 = jnp.where(valid, v2, v)
+            xt2 = jnp.where(valid, xt2, xt)
+            vt2 = jnp.where(valid, vt2, vt)
+            cur_inside = jnp.where(valid, cur_inside, inside)
+            esc2 = jnp.where(valid, esc2, esc)
+        return x2, v2, xt2, vt2, cur_inside, esc2
+
+    def cond(s):
+        step, *_, esc = s
+        return (step < max_steps) & ~jnp.all(esc)
+
+    def body(s):
+        step, x, v, xt, vt, inside, esc = s
+        ci3_a, _ = WD.cell_index3(wf, x)
+        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
+            mode="promise_in_bounds")
+        x, v, xt, vt, inside, esc = substep(
+            W, None, x, v, xt, vt, inside, esc, None)
+        x, v, xt, vt, inside, esc = substep(
+            W, ci3_a, x, v, xt, vt, inside, esc, step + 1 < max_steps)
+        return (step + 2, x, v, xt, vt, inside, esc)
+
+    _, x, v, xt, vt, _, esc = lax.while_loop(
+        cond, body, (0, x0, v0, x0, v0, inside0, esc0))
+    xt = _where3(esc, xt, x)
+    return xt, vt, ~esc
+
+
+def trace_target(field: G.GridField, x0, v0, target, ds, max_steps: int):
+    wf = WD.build_window_table(field)
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+    d20 = jnp.sum((x0 - target) ** 2, axis=-1)
+
+    def substep(W, ci3_a, x, v, xt, vt, d2, inside, esc, valid):
+        if ci3_a is None:
+            off3 = 1
+            _, w0 = WD.cell_index3(wf, x)
+        else:
+            ci3, w0 = WD.cell_index3(wf, x)
+            off3 = WD.window_offsets(ci3_a, ci3)
+        n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
+        v2 = v + (ds * n)[:, None] * nx
+        x2 = x + ds * v2
+
+        cur_d2 = jnp.sum((x2 - target) ** 2, axis=-1)
+        closer = cur_d2 < d2
+
+        cur_inside = G.inbounds(field, x2)
+        cross = inside & ~cur_inside
+        esc2 = esc | cross | G.escaped(field, x2, v2)
+
+        xt2 = _where3(closer, x2, xt)
+        vt2 = _where3(closer, v2, vt)
+        d2n = jnp.where(closer, cur_d2, d2)
+        if valid is not None:
+            x2 = jnp.where(valid, x2, x)
+            v2 = jnp.where(valid, v2, v)
+            xt2 = jnp.where(valid, xt2, xt)
+            vt2 = jnp.where(valid, vt2, vt)
+            d2n = jnp.where(valid, d2n, d2)
+            cur_inside = jnp.where(valid, cur_inside, inside)
+            esc2 = jnp.where(valid, esc2, esc)
+        return x2, v2, xt2, vt2, d2n, cur_inside, esc2
+
+    def cond(s):
+        step, *_, esc = s
+        return (step < max_steps) & ~jnp.all(esc)
+
+    def body(s):
+        step, x, v, xt, vt, d2, inside, esc = s
+        ci3_a, _ = WD.cell_index3(wf, x)
+        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
+            mode="promise_in_bounds")
+        x, v, xt, vt, d2, inside, esc = substep(
+            W, None, x, v, xt, vt, d2, inside, esc, None)
+        x, v, xt, vt, d2, inside, esc = substep(
+            W, ci3_a, x, v, xt, vt, d2, inside, esc, step + 1 < max_steps)
+        return (step + 2, x, v, xt, vt, d2, inside, esc)
+
+    _, x, v, xt, vt, d2, _, esc = lax.while_loop(
+        cond, body, (0, x0, v0, x0, v0, d20, inside0, esc0))
+    return xt, vt, d2
+
+
+def trace_sdf(field: G.GridField, sdf: G.GridField, x0, v0, ds,
+              max_steps: int):
+    wf = WD.build_window_table(field)
+    wf_sdf = WD.build_window_table(sdf)
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+
+    def substep(W, Ws, ci3_a, x, v, xt, vt, inside, esc, valid):
+        if ci3_a is None:
+            off3 = 1
+            _, w0 = WD.cell_index3(wf, x)
+        else:
+            ci3, w0 = WD.cell_index3(wf, x)
+            off3 = WD.window_offsets(ci3_a, ci3)
+        n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
+        v2 = v + (ds * n)[:, None] * nx
+        x2 = x + ds * v2
+
+        # sdf evaluated at the *new* position: anchor windows were gathered at
+        # the pair start, so x2 after substep B is up to 2 steps away — gather
+        # the sdf window per substep instead (positions differ).
+        ci3_s, w0_s = WD.cell_index3(wf_sdf, x2)
+        Ws2 = wf_sdf.table.at[WD.flatten_ci3(wf_sdf, ci3_s)].get(
+            mode="promise_in_bounds")
+        dist, _ = WD.eval_window(Ws2, 1, w0_s, field.h, mask=inside)
+
+        cur_inside = dist < 0
+        cross = inside & ~cur_inside
+        esc2 = esc | cross | G.escaped(field, x2, v2)
+        xt2 = _where3(cross, x2, xt)
+        vt2 = _where3(cross, v2, vt)
+        if valid is not None:
+            x2 = jnp.where(valid, x2, x)
+            v2 = jnp.where(valid, v2, v)
+            xt2 = jnp.where(valid, xt2, xt)
+            vt2 = jnp.where(valid, vt2, vt)
+            cur_inside = jnp.where(valid, cur_inside, inside)
+            esc2 = jnp.where(valid, esc2, esc)
+        return x2, v2, xt2, vt2, cur_inside, esc2
+
+    def cond(s):
+        step, *_, esc = s
+        return (step < max_steps) & ~jnp.all(esc)
+
+    def body(s):
+        step, x, v, xt, vt, inside, esc = s
+        ci3_a, _ = WD.cell_index3(wf, x)
+        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
+            mode="promise_in_bounds")
+        x, v, xt, vt, inside, esc = substep(
+            W, None, None, x, v, xt, vt, inside, esc, None)
+        x, v, xt, vt, inside, esc = substep(
+            W, None, ci3_a, x, v, xt, vt, inside, esc,
+            step + 1 < max_steps)
+        return (step + 2, x, v, xt, vt, inside, esc)
+
+    _, x, v, xt, vt, _, esc = lax.while_loop(
+        cond, body, (0, x0, v0, x0, v0, inside0, esc0))
+    return xt, vt
+
+
+def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
+              axis_name=None):
+    """Constant-memory adjoint: paired window gathers + supercell scatters."""
+    wf = WD.build_window_table(field)
+    ds = jnp.asarray(ds, dtype=xt.dtype)
+    la0 = dx
+    mu0 = dv + ds * dx
+    active0 = ~G.escaped(field, xt, -vt)
+    g0 = WD.zero_super_grad(wf, xt.dtype)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
+
+    def substep(W, ci3_a, x, v, la, mu, active, g, valid):
+        x2 = x - ds * v
+        xe = G.snap_to_nodes(x2, field.h)
+        emask = active & G.inbounds(field, xe)
+        ci3, w0 = WD.cell_index3(wf, xe)
+        off3 = 1 if ci3_a is None else WD.window_offsets(ci3_a, ci3)
+        n, nx, hess = WD.eval_window(W, off3, w0, field.h, mask=emask,
+                                     want_hess=True)
+        v2 = v - (ds * n)[:, None] * nx
+
+        active2 = active & ~G.escaped(field, xe, -v2)
+
+        dn = jnp.einsum("nd,nd->n", mu, nx)
+        dnx = n[:, None] * mu
+        contrib = CT.splat_rows(w0, dn * ds, dnx * ds, field.h,
+                                mask=active2 & emask)
+        if valid is not None:
+            contrib = jnp.where(valid, contrib, 0.0)
+        g2 = WD.scatter_super(wf, g, ci3, contrib)
+
+        la2 = la + ds * (dn[:, None] * nx
+                         + n[:, None] * G.hess_matvec(hess, mu))
+        mu2 = mu + ds * la2
+        if valid is not None:
+            x2 = jnp.where(valid, x2, x)
+            v2 = jnp.where(valid, v2, v)
+            la2 = jnp.where(valid, la2, la)
+            mu2 = jnp.where(valid, mu2, mu)
+            active2 = jnp.where(valid, active2, active)
+        return x2, v2, la2, mu2, active2, g2, ci3
+
+    def cond(s):
+        step, *_, active, _g = s
+        return (step < max_steps) & jnp.any(active)
+
+    def body(s):
+        step, x, v, la, mu, active, g = s
+        # anchor the pair's window at the first reverse position
+        xa = G.snap_to_nodes(x - ds * v, field.h)
+        ci3_a, _ = WD.cell_index3(wf, xa)
+        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
+            mode="promise_in_bounds")
+        x, v, la, mu, active, g, _ = substep(
+            W, None, x, v, la, mu, active, g, None)
+        x, v, la, mu, active, g, _ = substep(
+            W, ci3_a, x, v, la, mu, active, g, step + 1 < max_steps)
+        return (step + 2, x, v, la, mu, active, g)
+
+    _, _, _, _, _, _, g = lax.while_loop(
+        cond, body, (0, xt, vt, la0, mu0, active0, g0))
+    return WD.fold_super_grad(g, wf).reshape(-1)
+
+
+def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
+                  max_steps: int, axis_name=None):
+    wf = WD.build_window_table(field)
+    wf_sdf = WD.build_window_table(sdf)
+    ds = jnp.asarray(ds, dtype=xt.dtype)
+    la0 = dx
+    mu0 = dv + ds * dx
+    active0 = ~G.escaped(field, xt, -vt)
+    ci3_t, w0_t = WD.cell_index3(wf_sdf, xt)
+    Wt = wf_sdf.table.at[WD.flatten_ci3(wf_sdf, ci3_t)].get(
+        mode="promise_in_bounds")
+    dist0, _ = WD.eval_window(Wt, 1, w0_t, field.h, mask=active0)
+    outside0 = dist0 >= 0
+    g0 = WD.zero_super_grad(wf, xt.dtype)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
+
+    def substep(W, ci3_a, x, v, la, mu, active, outside, g, valid):
+        x2 = x - ds * v
+        xe = G.snap_to_nodes(x2, field.h)
+        emask = active & G.inbounds(field, xe)
+        ci3, w0 = WD.cell_index3(wf, xe)
+        off3 = 1 if ci3_a is None else WD.window_offsets(ci3_a, ci3)
+        n, nx, hess = WD.eval_window(W, off3, w0, field.h, mask=emask,
+                                     want_hess=True)
+        v2 = v - (ds * n)[:, None] * nx
+
+        ci3_s, w0_s = WD.cell_index3(wf_sdf, xe)
+        Ws = wf_sdf.table.at[WD.flatten_ci3(wf_sdf, ci3_s)].get(
+            mode="promise_in_bounds")
+        dist, _ = WD.eval_window(Ws, 1, w0_s, field.h, mask=active)
+
+        active2 = active & ~G.escaped(field, xe, -v2)
+        cross = ~outside & (dist >= 0)
+        active2 = active2 & ~cross
+        outside2 = dist >= 0
+
+        dn = jnp.einsum("nd,nd->n", mu, nx)
+        dnx = n[:, None] * mu
+        contrib = CT.splat_rows(w0, dn * ds, dnx * ds, field.h,
+                                mask=active2 & emask)
+        if valid is not None:
+            contrib = jnp.where(valid, contrib, 0.0)
+        g2 = WD.scatter_super(wf, g, ci3, contrib)
+
+        la2 = la + ds * (dn[:, None] * nx
+                         + n[:, None] * G.hess_matvec(hess, mu))
+        mu2 = mu + ds * la2
+        if valid is not None:
+            x2 = jnp.where(valid, x2, x)
+            v2 = jnp.where(valid, v2, v)
+            la2 = jnp.where(valid, la2, la)
+            mu2 = jnp.where(valid, mu2, mu)
+            active2 = jnp.where(valid, active2, active)
+            outside2 = jnp.where(valid, outside2, outside)
+        return x2, v2, la2, mu2, active2, outside2, g2
+
+    def cond(s):
+        step, *_, active, _o, _g = s
+        return (step < max_steps) & jnp.any(active)
+
+    def body(s):
+        step, x, v, la, mu, active, outside, g = s
+        xa = G.snap_to_nodes(x - ds * v, field.h)
+        ci3_a, _ = WD.cell_index3(wf, xa)
+        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
+            mode="promise_in_bounds")
+        x, v, la, mu, active, outside, g = substep(
+            W, None, x, v, la, mu, active, outside, g, None)
+        x, v, la, mu, active, outside, g = substep(
+            W, ci3_a, x, v, la, mu, active, outside, g,
+            step + 1 < max_steps)
+        return (step + 2, x, v, la, mu, active, outside, g)
+
+    _, _, _, _, _, _, _, g = lax.while_loop(
+        cond, body, (0, xt, vt, la0, mu0, active0, outside0, g0))
+    return WD.fold_super_grad(g, wf).reshape(-1)
