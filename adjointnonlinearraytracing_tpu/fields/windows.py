@@ -197,29 +197,40 @@ def window_offsets(ci3_anchor: jax.Array, ci3_eval: jax.Array):
 # ---------------------------------------------------------------------------
 
 
+# Supercell shape (cells per axis): 4 along x, 2 along y/z -> 16 cells x 8
+# corners = 128-lane rows.  Measured v5e scatter: 128-wide rows cost 3.4 ms
+# per 262k updates vs 3.8 ms at 64 and 11.2 ms at 8 (pallas/README.md).
+_SX, _SY, _SZ = 4, 2, 2
+_SLOTS = _SX * _SY * _SZ
+
+
 def super_dims(wf_res):
     wid, hgt, d = wf_res
-    return ((wid + 2) // 2, (hgt + 2) // 2, (d + 2) // 2)  # ext=res+1 halved up
+    ext_x, ext_y, ext_z = wid + 1, hgt + 1, d + 1
+    return ((ext_x + _SX - 1) // _SX, (ext_y + _SY - 1) // _SY,
+            (ext_z + _SZ - 1) // _SZ)
 
 
 def zero_super_grad(wf: WindowField, dtype) -> jax.Array:
     sxc, syc, szc = super_dims(wf.res)
-    return jnp.zeros((szc * syc * sxc, 64), dtype=dtype)
+    return jnp.zeros((szc * syc * sxc, _SLOTS * 8), dtype=dtype)
 
 
 def scatter_super(wf: WindowField, g: jax.Array, ci3: jax.Array,
                   contrib8: jax.Array) -> jax.Array:
-    """One (N, 64) row scatter-add: cell ci3's 8-corner contribution lands in
-    its 2^3 supercell at lane block slot*8..slot*8+8, slot = interleaved
-    low bits."""
+    """One (N, 128) row scatter-add: cell ci3's 8-corner contribution lands
+    in its 4x2x2 supercell at lane block slot*8..slot*8+8."""
     sxc, syc, _ = super_dims(wf.res)
-    sc = ci3 >> 1
-    slot = ((ci3[:, 2] & 1) * 2 + (ci3[:, 1] & 1)) * 2 + (ci3[:, 0] & 1)
-    row_idx = (sc[:, 2] * syc + sc[:, 1]) * sxc + sc[:, 0]
+    scx = ci3[:, 0] // _SX
+    scy = ci3[:, 1] // _SY
+    scz = ci3[:, 2] // _SZ
+    slot = ((ci3[:, 2] % _SZ) * _SY + (ci3[:, 1] % _SY)) * _SX \
+        + (ci3[:, 0] % _SX)
+    row_idx = (scz * syc + scy) * sxc + scx
 
-    lane_slot = jnp.arange(64, dtype=jnp.int32) // 8
+    lane_slot = jnp.arange(_SLOTS * 8, dtype=jnp.int32) // 8
     row = jnp.where(lane_slot[None, :] == slot[:, None],
-                    jnp.tile(contrib8, (1, 8)), 0.0)
+                    jnp.tile(contrib8, (1, _SLOTS)), 0.0)
     return g.at[row_idx].add(row, mode="promise_in_bounds")
 
 
@@ -232,10 +243,10 @@ def fold_super_grad(g: jax.Array, wf: WindowField) -> jax.Array:
     wid, hgt, d = wf.res
     sxc, syc, szc = super_dims(wf.res)
     # (szc, syc, sxc, slot_z, slot_y, slot_x, corner)
-    cg = g.reshape(szc, syc, sxc, 2, 2, 2, 8)
+    cg = g.reshape(szc, syc, sxc, _SZ, _SY, _SX, 8)
     cg = jnp.transpose(cg, (0, 3, 1, 4, 2, 5, 6))
-    cg = cg.reshape(2 * szc, 2 * syc, 2 * sxc, 8)
-    cg = cg[: d + 1, : hgt + 1, : wid + 1]  # drop the unused odd-parity pad
+    cg = cg.reshape(_SZ * szc, _SY * syc, _SX * sxc, 8)
+    cg = cg[: d + 1, : hgt + 1, : wid + 1]  # drop the unused parity pad
 
     cf = CT.CellField(cg, wf.h, wf.res)  # table only used for shape/res
     return CT.fold_cell_grad(cg.reshape(-1, 8), cf)
