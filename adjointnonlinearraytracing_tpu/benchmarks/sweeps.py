@@ -76,17 +76,24 @@ def profile_stepsize(nrays=None, res=33, iters=2, include_ad=True):
         t_back = _time_grad(loss_back, rif, iters)
 
         t_ad = None
+        ad_oom = False
         if include_ad:
             def loss_ad(r):
                 xt, vt = tracer.trace_ad(r, x0, v0, h, ds)
                 return jnp.sum(xt ** 2)
 
-            t_ad = _time_grad(loss_ad, rif, iters)
+            try:
+                t_ad = _time_grad(loss_ad, rif, iters)
+            except Exception as e:  # tape is O(steps*N): HBM OOM is a result
+                if "memory" not in str(e).lower():
+                    raise
+                ad_oom = True
 
         row = dict(ds=round(ds, 5), ds_mult=ds_mult,
                    back_time_s=round(t_back, 4),
                    back_rays_per_s=round(nrays / t_back, 1),
-                   ad_time_s=round(t_ad, 4) if t_ad else None,
+                   ad_time_s="oom" if ad_oom else
+                             (round(t_ad, 4) if t_ad else None),
                    mem_gb=_mem_stats())
         rows.append(row)
         print(json.dumps(row), flush=True)

@@ -186,8 +186,8 @@ def run_multiview_exp(result_dir="results/multiview", resolution=128,
         optim_iters=optim_iters,
         record_iters=optim_iters,
         nbins=resolution,
-        **overrides,
     )
+    params.update(overrides)  # explicit overrides win (e.g. record_iters)
     return multires_exp(params, result_dir)
 
 

@@ -12,6 +12,16 @@ Multi-host: call `jax.distributed.initialize()` before building the mesh and
 these functions work unchanged — rays shard across all global devices, the
 psum rides ICI within a slice and DCN across hosts.
 
+On overlapping the psum with the adjoint sweep (BASELINE.json mentions it):
+measured numbers make it moot at these scales.  The voxel-gradient allreduce
+moves one grad table per backward (70 MB at 129^3 after the supercell fold,
+or ~0.5 GB pre-fold) — ~1-6 ms over v5e ICI (~100+ GB/s) against a ~2 s
+adjoint sweep that is per-row scatter bound (pallas/README.md), i.e. <0.5%.
+Chunk-wise per-segment psums would add K-1 extra collectives and change
+accumulation order for at most a fraction of that 0.5%; deliberately not
+implemented.  Revisit only if grids grow to >=513^3 AND interconnect drops
+to DCN-only (multi-pod), where the allreduce reaches percent scale.
+
 TP/PP/EP do not apply to this workload (no matmul weights to shard — SURVEY.md
 §2.3); the scaling dimension is the ray batch, exactly like the enoki
 SIMT batch but across chips.

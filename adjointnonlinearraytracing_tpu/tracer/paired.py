@@ -200,12 +200,14 @@ def trace_target(field: G.GridField, x0, v0, target, ds, max_steps: int):
 def trace_sdf(field: G.GridField, sdf: G.GridField, x0, v0, ds,
               max_steps: int):
     wf = WD.build_window_table(field)
-    wf_sdf = WD.build_window_table(sdf)
+    cf_sdf = CT.build_cell_table(sdf)  # sdf only ever evals at its own cell:
+    # an 8-wide row gather costs the same as 64-wide (per-row bound) at 1/8th
+    # the table memory, so the classic cell table is the right fetch here.
     inside0 = G.inbounds(field, x0)
     esc0 = jnp.zeros_like(inside0)
     ds = jnp.asarray(ds, dtype=x0.dtype)
 
-    def substep(W, Ws, ci3_a, x, v, xt, vt, inside, esc, valid):
+    def substep(W, ci3_a, x, v, xt, vt, inside, esc, valid):
         if ci3_a is None:
             off3 = 1
             _, w0 = WD.cell_index3(wf, x)
@@ -216,13 +218,10 @@ def trace_sdf(field: G.GridField, sdf: G.GridField, x0, v0, ds,
         v2 = v + (ds * n)[:, None] * nx
         x2 = x + ds * v2
 
-        # sdf evaluated at the *new* position: anchor windows were gathered at
-        # the pair start, so x2 after substep B is up to 2 steps away — gather
-        # the sdf window per substep instead (positions differ).
-        ci3_s, w0_s = WD.cell_index3(wf_sdf, x2)
-        Ws2 = wf_sdf.table.at[WD.flatten_ci3(wf_sdf, ci3_s)].get(
-            mode="promise_in_bounds")
-        dist, _ = WD.eval_window(Ws2, 1, w0_s, field.h, mask=inside)
+        # sdf evaluated at the *new* position (fast.py semantics: mask is the
+        # pre-substep inside)
+        vals_s, w0_s, _ = CT.fetch(cf_sdf, x2, inside)
+        dist, _ = CT.eval_grad_from(vals_s, w0_s, field.h)
 
         cur_inside = dist < 0
         cross = inside & ~cur_inside
@@ -248,9 +247,9 @@ def trace_sdf(field: G.GridField, sdf: G.GridField, x0, v0, ds,
         W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
             mode="promise_in_bounds")
         x, v, xt, vt, inside, esc = substep(
-            W, None, None, x, v, xt, vt, inside, esc, None)
+            W, None, x, v, xt, vt, inside, esc, None)
         x, v, xt, vt, inside, esc = substep(
-            W, None, ci3_a, x, v, xt, vt, inside, esc,
+            W, ci3_a, x, v, xt, vt, inside, esc,
             step + 1 < max_steps)
         return (step + 2, x, v, xt, vt, inside, esc)
 
@@ -327,15 +326,13 @@ def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
 def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
                   max_steps: int, axis_name=None):
     wf = WD.build_window_table(field)
-    wf_sdf = WD.build_window_table(sdf)
+    cf_sdf = CT.build_cell_table(sdf)  # see trace_sdf: cell rows suffice
     ds = jnp.asarray(ds, dtype=xt.dtype)
     la0 = dx
     mu0 = dv + ds * dx
     active0 = ~G.escaped(field, xt, -vt)
-    ci3_t, w0_t = WD.cell_index3(wf_sdf, xt)
-    Wt = wf_sdf.table.at[WD.flatten_ci3(wf_sdf, ci3_t)].get(
-        mode="promise_in_bounds")
-    dist0, _ = WD.eval_window(Wt, 1, w0_t, field.h, mask=active0)
+    vals_t, w0_t, _ = CT.fetch(cf_sdf, xt, active0)
+    dist0, _ = CT.eval_grad_from(vals_t, w0_t, field.h)
     outside0 = dist0 >= 0
     g0 = WD.zero_super_grad(wf, xt.dtype)
     if axis_name is not None:
@@ -351,10 +348,8 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
                                      want_hess=True)
         v2 = v - (ds * n)[:, None] * nx
 
-        ci3_s, w0_s = WD.cell_index3(wf_sdf, xe)
-        Ws = wf_sdf.table.at[WD.flatten_ci3(wf_sdf, ci3_s)].get(
-            mode="promise_in_bounds")
-        dist, _ = WD.eval_window(Ws, 1, w0_s, field.h, mask=active)
+        vals_s, w0_s, _ = CT.fetch(cf_sdf, xe, active)
+        dist, _ = CT.eval_grad_from(vals_s, w0_s, field.h)
 
         active2 = active & ~G.escaped(field, xe, -v2)
         cross = ~outside & (dist >= 0)
