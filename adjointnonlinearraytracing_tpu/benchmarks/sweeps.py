@@ -26,6 +26,14 @@ def _case(res, nrays, span=20.0, dtype="float32"):
     return build_case(res=res, nrays=nrays, span=span, dtype=dtype)
 
 
+def _is_oom(e: Exception) -> bool:
+    """Device OOM heuristics: XLA phrasings vary by backend/version
+    ('RESOURCE_EXHAUSTED', '... hbm', 'out of memory')."""
+    msg = str(e).lower()
+    return any(k in msg for k in ("memory", "resource_exhausted",
+                                  "resource exhausted", "hbm"))
+
+
 def _mem_stats():
     import jax
 
@@ -85,7 +93,7 @@ def profile_stepsize(nrays=None, res=33, iters=2, include_ad=True):
             try:
                 t_ad = _time_grad(loss_ad, rif, iters)
             except Exception as e:  # tape is O(steps*N): HBM OOM is a result
-                if "memory" not in str(e).lower():
+                if not _is_oom(e):
                     raise
                 ad_oom = True
 
@@ -122,18 +130,30 @@ def profile_resolution(nrays=None, iters=2, include_ad=False,
             xt, vt = tracer.trace(r, x0, v0, h, ds)
             return jnp.sum(xt ** 2)
 
-        t_back = _time_grad(loss_back, rif, iters)
-        t_ad = None
+        try:
+            t_back = _time_grad(loss_back, rif, iters)
+        except Exception as e:
+            if not _is_oom(e):
+                raise
+            t_back = None
+        t_ad, ad_oom = None, False
         if include_ad:
             def loss_ad(r):
                 xt, vt = tracer.trace_ad(r, x0, v0, h, ds)
                 return jnp.sum(xt ** 2)
 
-            t_ad = _time_grad(loss_ad, rif, iters)
+            try:
+                t_ad = _time_grad(loss_ad, rif, iters)
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                ad_oom = True
 
-        row = dict(res=res, back_time_s=round(t_back, 4),
-                   back_rays_per_s=round(nrays / t_back, 1),
-                   ad_time_s=round(t_ad, 4) if t_ad else None,
+        row = dict(res=res,
+                   back_time_s="oom" if t_back is None else round(t_back, 4),
+                   back_rays_per_s=round(nrays / t_back, 1) if t_back else None,
+                   ad_time_s="oom" if ad_oom else
+                             (round(t_ad, 4) if t_ad else None),
                    mem_gb=_mem_stats())
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -145,7 +165,11 @@ def main(argv):
     if mode == "stepsize":
         profile_stepsize()
     elif mode == "resolution":
-        profile_resolution()
+        # optional comma-separated res list, e.g. "resolution 129,257"
+        kw = {}
+        if len(argv) > 2:
+            kw["res_list"] = tuple(int(r) for r in argv[2].split(","))
+        profile_resolution(**kw)
     else:
         raise SystemExit(f"unknown mode {mode!r}; use stepsize|resolution")
 

@@ -14,10 +14,11 @@ row costs 11.2 ms.  Two redesigns fall out:
    all lie inside the window.  Gather count halves at unchanged per-gather
    cost.
 
-2. **Supercell scatter, 64-wide rows.**  The adjoint's per-step (N, 8)
-   row scatter becomes an (N, 64) scatter into a table of disjoint 2^3-cell
-   supercells (8 cells x 8 corners), with the cell's slot selected by lane
-   arithmetic.  3x faster per update at identical update count.
+2. **Supercell scatter, 128-wide rows.**  The adjoint's per-step (N, 8)
+   row scatter becomes an (N, 128) scatter into a table of disjoint
+   4x2x2-cell supercells (16 cells x 8 corners), with the cell's slot
+   selected by lane arithmetic.  Measured 3.4 ms per 262k updates vs 11.2 ms
+   for 8-wide rows — 3.3x faster per update at identical update count.
 
 Validity precondition for the windowed gather: per-step per-axis movement
 ``ds * max|v| <= h``.  Since ``|v| = n`` and every reference experiment keeps
@@ -39,6 +40,7 @@ Reference parity: the node values and clamping reproduce
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -146,13 +148,23 @@ def eval_window(W, off3, w0, h, mask=None, want_hess=False):
 
     ``off3``: per-axis window offsets of the evaluation cell — either the
     python int 1 (the anchor cell itself, first substep) or an (N, 3) int32
-    array in [0, 2] (second substep).  Same math as cells.eval_grad_from /
+    array (second substep), normally in [0, 2].  Offsets outside [0, 2] mean
+    the ``ds * n <= h`` movement precondition was violated (the window no
+    longer covers the eval cell); for masked-active rays the value is
+    poisoned to NaN so the failure is loud instead of silently wrong
+    (disable with ANRT_CHECK_WINDOW=0).  Same math as cells.eval_grad_from /
     eval_hess_from (volume.cpp:101-181, :40-99), different summation order.
     """
     mx, my, mz = _lane_axes()
+    viol = None
     if isinstance(off3, int):
         ox = oy = oz = off3
     else:
+        if os.environ.get("ANRT_CHECK_WINDOW", "1") != "0":
+            viol = jnp.any((off3 < 0) | (off3 > 2), axis=-1)
+            if mask is not None:
+                viol = viol & mask
+        off3 = jnp.clip(off3, 0, 2)
         ox, oy, oz = off3[:, 0], off3[:, 1], off3[:, 2]
 
     if mask is not None:
@@ -168,6 +180,8 @@ def eval_window(W, off3, w0, h, mask=None, want_hess=False):
     inv_h = 1.0 / h
     yz = wy * wz
     n = jnp.sum(W * (wx * yz), axis=-1)
+    if viol is not None:
+        n = jnp.where(viol, jnp.nan, n)
     gx = jnp.sum(W * (dwx * yz), axis=-1) * inv_h
     gy = jnp.sum(W * (wx * dwy * wz), axis=-1) * inv_h
     gz = jnp.sum(W * (wx * wy * dwz), axis=-1) * inv_h
@@ -185,11 +199,12 @@ def eval_window(W, off3, w0, h, mask=None, want_hess=False):
 def window_offsets(ci3_anchor: jax.Array, ci3_eval: jax.Array):
     """Per-axis offsets of the eval cell within the anchor's window.
 
-    In-range [0, 2] is guaranteed by the ``ds * n_max <= h`` precondition;
-    the clip is a defensive no-op that keeps indices legal at the exact
-    equality boundary (see module docstring).
+    In-range [0, 2] is guaranteed by the ``ds * n_max <= h`` precondition.
+    Returned unclipped: eval_window clips defensively and (by default)
+    NaN-poisons active rays whose offset left the window, so a precondition
+    violation surfaces loudly instead of producing silently wrong results.
     """
-    return jnp.clip(ci3_eval - ci3_anchor + 1, 0, 2)
+    return ci3_eval - ci3_anchor + 1
 
 
 # ---------------------------------------------------------------------------

@@ -48,14 +48,21 @@ def process_info():
 
 
 def local_ray_slice(n_global: int):
-    """[start, stop) of this host's contiguous ray range (equal split)."""
+    """This host's contiguous ray range of the pad-and-mask global batch.
+
+    Returns ``(start, stop, n_valid)``: every host generates exactly
+    ``stop - start`` rays (equal shards of ``ceil(n_global / nproc) * nproc``
+    padded rays, same pad-and-mask convention as parallel.mesh.pad_rays);
+    rays with global index >= ``n_global`` — the last host's tail when the
+    count doesn't divide — must be masked inactive, and ``n_valid`` is how
+    many of this host's rays are real.
+    """
     pc = jax.process_count()
     pi = jax.process_index()
-    per = n_global // pc
-    if n_global % pc:
-        raise ValueError(f"global ray count {n_global} not divisible by "
-                         f"{pc} processes; pad first (parallel.mesh.pad_rays)")
-    return pi * per, (pi + 1) * per
+    per = -(-n_global // pc)  # ceil
+    start, stop = pi * per, (pi + 1) * per
+    n_valid = max(0, min(stop, n_global) - start)
+    return start, stop, n_valid
 
 
 def global_ray_array(mesh, local_arrays):

@@ -58,19 +58,31 @@ def _impl(rif, h, ds):
     """Static fast-path selection: paired window stepper vs classic cell table.
 
     The paired stepper (tracer/paired.py) needs per-step movement
-    ``ds * n <= h``; with the physical bound n <= 2 that is ``ds <= h/2``
-    (every reference experiment satisfies it — peak index sqrt(2)).  Its
-    window table costs 64 floats per extended cell, so huge grids fall back
-    to the classic path.  Env overrides: ANRT_FAST_PATH=paired|classic|auto,
-    ANRT_WINDOW_MEM_MB (default 6144).
+    ``ds * n <= h``.  When ``rif`` is a concrete array (eager call) we gate
+    on its actual max; under jit (``rif`` is a tracer) we use the physical
+    bound n <= 2, i.e. ``ds <= h/2`` (every reference experiment satisfies
+    it — peak index sqrt(2)).  A jitted run whose field grows past n = 2
+    (e.g. an unclamped optimizer overshoot) violates the window precondition
+    mid-flight; fields/windows.eval_window NaN-poisons those rays by default
+    (ANRT_CHECK_WINDOW) so this fails loudly rather than silently — the
+    classic path stays exact for such fields (ANRT_FAST_PATH=classic).
+
+    The window table costs 64 floats per extended cell, so huge grids fall
+    back to the classic path.  Env overrides: ANRT_FAST_PATH=paired|classic|
+    auto, ANRT_WINDOW_MEM_MB (default 6144).
     """
     mode = os.environ.get("ANRT_FAST_PATH", "auto")
     if mode == "classic":
         return F
     if mode == "paired":
         return PD
-    if float(ds) > float(h) / 2 * (1 + 1e-12):
-        return F
+    if isinstance(rif, jax.core.Tracer):
+        if float(ds) > float(h) / 2 * (1 + 1e-12):
+            return F
+    else:
+        nmax = max(float(jnp.max(rif)), 1.0)
+        if float(ds) * nmax > float(h) * (1 + 1e-12):
+            return F
     limit = int(os.environ.get("ANRT_WINDOW_MEM_MB", "6144")) << 20
     if WD.window_bytes(rif.shape, rif.dtype.itemsize) > limit:
         return F

@@ -3,7 +3,7 @@
 Numerically equivalent to tracer/fast.py (same per-step math, masks, exit
 capture — asserted by tests/test_paired.py) but each loop iteration performs
 TWO integration substeps from ONE (N, 64) window gather, and the adjoint
-scatters 64-wide supercell rows.  Measured on v5e this roughly doubles
+scatters 128-wide 4x2x2-supercell rows.  Measured on v5e this roughly doubles
 end-to-end fwd+adjoint throughput (fields/windows.py has the measurements).
 
 Validity: the window covers both substeps only when the per-step per-axis

@@ -102,6 +102,9 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),
+        # the reference publishes no numbers (BASELINE.md); the ratio tracks
+        # our own first recorded round, NOT parity vs the enoki/CUDA reference
+        "baseline_kind": "self_round1" if baseline else "none",
     }))
 
 

@@ -8,9 +8,8 @@ params = fiber.default_params()
 params.update(optim_iters=40, record_iters=40)
 n, hist = fiber.multires_exp(params, result_dir="results/fiber_129")
 
-gt = fiber.gt_profile(jnp.linspace(0.0, 1.0, n.shape[0]))
+gt = fiber.ground_truth(int(n.shape[0]), dtype=n.dtype)
 l1 = float(jnp.mean(jnp.abs(n - gt)))
-n0 = jnp.ones_like(n) + 0.1  # init offset default? report final only
 print(json.dumps({"bins": int(n.shape[0]),
                   "l1_vs_gt": l1,
                   "first_loss": float(hist[0]), "last_loss": float(hist[-1])}))

@@ -38,8 +38,11 @@ class TestDistributedHelpers:
     def test_local_ray_slice(self):
         from adjointnonlinearraytracing_tpu.parallel import local_ray_slice
 
-        lo, hi = local_ray_slice(64)
-        assert (lo, hi) == (0, 64)
+        lo, hi, n_valid = local_ray_slice(64)
+        assert (lo, hi, n_valid) == (0, 64, 64)
+        # indivisible counts pad (single process: shard == padded count)
+        lo, hi, n_valid = local_ray_slice(63)
+        assert (lo, hi, n_valid) == (0, 63, 63)
 
     def test_initialize_noop_single(self):
         from adjointnonlinearraytracing_tpu.parallel import initialize

@@ -193,9 +193,36 @@ class TestPairedTracers:
 
 class TestApiSelection:
     def test_auto_selects_paired_for_small_ds(self):
-        rif = bump_field(9, 1.0, dtype=jnp.float32)
+        rif = bump_field(9, 1.0, dtype=jnp.float32)  # max n = 1.1
         assert api._impl(rif, 1.0, 0.5) is PD
-        assert api._impl(rif, 1.0, 0.75) is F
+        # concrete field: gate is ds * max(n) <= h, so 0.75 * 1.1 still fits
+        assert api._impl(rif, 1.0, 0.75) is PD
+        assert api._impl(rif, 1.0, 0.95) is F  # 0.95 * 1.1 > h
+
+    def test_auto_under_jit_uses_physical_bound(self):
+        # traced rif: falls back to the n <= 2 physical bound, ds <= h/2
+        picked = []
+
+        @jax.jit
+        def probe(r):
+            picked.append(api._impl(r, 1.0, 0.75))
+            picked.append(api._impl(r, 1.0, 0.5))
+            return r
+
+        probe(bump_field(9, 1.0, dtype=jnp.float32))
+        assert picked[0] is F and picked[1] is PD
+
+    def test_violation_poisons_nan(self):
+        # force the paired path with a field whose max n breaks ds*n <= h:
+        # active rays must come back NaN, not silently wrong
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=2.5, dtype=jnp.float64)  # max n = 3.5
+        x, v = entry_rays(8, res, h)
+        v = v * 3.5  # |v| = n on entry
+        ds = h / 2  # passes the jit-time gate, violates ds * n <= h
+        sf, _ = _steps(res, h, ds)
+        xt, _ = PD.trace(G.GridField(rif, h), x, v, ds, sf)
+        assert bool(jnp.any(jnp.isnan(xt)))
 
     def test_env_override(self, monkeypatch):
         rif = bump_field(9, 1.0, dtype=jnp.float32)
