@@ -127,6 +127,31 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
     loss_hist = []
     cum_steps = 0
 
+    if params.get("grad_spotcheck", True) and not autodiff:
+        # cable adjoint vs plain autodiff through the scan, on real rays
+        # (VERDICT r1 item 9; there is no checkpointed cable variant, the
+        # tape is exact at these step counts)
+        rays0 = gen_start_rays(jax.random.PRNGKey(seed + 777))
+        npk = 512
+        xs, vs = rays0.x[:npk], rays0.v[:npk]
+        sp0 = rays0.planes[:npk, 0, :]
+        nprobe = n + 0.05 * jnp.exp(
+            -jnp.linspace(0.0, 1.0, n.shape[0], dtype=dtype) ** 2 / 0.18)
+        sds = float(cable_radius / n.shape[0] / 2)
+
+        def probe(fn):
+            def f(nt):
+                xm, vm, _ = fn(nt, cable_radius, cable_length, xs, vs, sp0,
+                               sds)
+                return jnp.sum(xm ** 2 + xm * vm)
+            return f
+
+        g_adj = jax.grad(probe(tracer.trace_cable))(nprobe)
+        g_ad = jax.grad(probe(tracer.trace_cable_ad))(nprobe)
+        scale = jnp.maximum(jnp.max(jnp.abs(g_ad)), 1e-30)
+        rel = float(jnp.max(jnp.abs(g_adj - g_ad)) / scale)
+        metrics.log(0, grad_spotcheck=rel)
+
     for res_iter in range(len(res_list)):
         opt = optax.adam((0.5 ** max(res_iter - 1, 0)) * lr
                          if res_iter > 0 else lr)

@@ -135,6 +135,11 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
                              f"{result_dir}/fuel_injection_{iter_count}.png")
 
     n0 = jnp.ones((res_list[0],) * 3, dtype=dtype) + fuel_val
+    if params.get("grad_spotcheck", True) and not autodiff:
+        common.gradient_spotcheck(n0, jnp.asarray(rays.x),
+                                  jnp.asarray(rays.v), vol_span, ds,
+                                  mask=jnp.asarray(rays.mask),
+                                  metrics=metrics)
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
         statename=f"{result_dir}/result" if result_dir else None,

@@ -163,6 +163,10 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
     if n0 is None:
         n0 = jnp.ones((res_list[0],) * 3, dtype=dtype)
 
+    if params.get("grad_spotcheck", True) and not autodiff:
+        rays, _, _ = gen_start_rays(jax.random.PRNGKey(seed + 777), 1)
+        common.gradient_spotcheck(n0, rays.x, rays.v, vol_span, ds,
+                                  mask=rays.mask, metrics=metrics)
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
         statename=f"{result_dir}/result" if result_dir else None,

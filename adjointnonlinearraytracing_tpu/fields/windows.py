@@ -1,38 +1,36 @@
-"""Node-window formulation of the trilinear field — the paired-step TPU path.
+"""Snapped-window formulation of the trilinear field — the paired-step TPU path.
 
 Measured on v5e (pallas/README.md): XLA gathers and scatters in the stepper
-loops are *per-row latency bound* — a 64-wide row costs the same as an 8-wide
-row (gather ~3.5 ms, scatter ~3.8 ms per 262k rows), while an 8-wide scatter
-row costs 11.2 ms.  Two redesigns fall out:
+loops are *per-row latency bound* — row width is free up to 128 lanes, and
+scatter cost grows with the DESTINATION table's size (8 MB: ~8 ns/row,
+68 MB: ~16 ns, 550 MB: ~76 ns random-index).  Three design rules fall out:
 
-1. **Windowed gather, one per TWO steps.**  For each extended cell ``c`` we
-   precompute the 4^3 surrounding *nodes* ``W[c][m] = data[clip(c-2+m)]``
-   (m in 0..3 per axis, 64 floats).  One (N, 64) row gather anchored at the
-   pair's first cell serves both substeps: the first evaluates at window
-   offset 1 (its own cell), and after one step of at most ``ds * n_max <= h``
-   per axis the new cell is within c±1, whose stencil nodes ``clip(c'-1..c')``
-   all lie inside the window.  Gather count halves at unchanged per-gather
-   cost.
+1. **One windowed gather per TWO substeps.**  A 5^3-node window (125 lanes,
+   within the free-width cliff) anchored on the even cell lattice covers
+   the 4 cells ``a..a+3``; both substeps of a pair evaluate inside it
+   because per-step per-axis movement is ``ds * n <= h`` (tracer/api.py
+   gates on ``ds <= h/2``).
+2. **One scatter per pair, not per substep.**  Both substeps' adjoint
+   splats land on the same window's 125 nodes, so they accumulate
+   in-register and issue ONE (N, 125) row scatter — half the scatter rows
+   of a per-substep scheme at identical per-row cost.
+3. **Snap anchors to the even lattice.**  Anchors ``a = 2*floor((c1-1)/2)``
+   give a site table of only ``(res/2+2)^3`` rows (275k at 128^3, 137 MB)
+   — scatters into it cost ~4.9 ms per 262k random rows vs ~20 ms into a
+   per-cell window table (2.1M rows, 550 MB).
 
-2. **Supercell scatter, 128-wide rows.**  The adjoint's per-step (N, 8)
-   row scatter becomes an (N, 128) scatter into a table of disjoint
-   4x2x2-cell supercells (16 cells x 8 corners), with the cell's slot
-   selected by lane arithmetic.  Measured 3.4 ms per 262k updates vs 11.2 ms
-   for 8-wide rows — 3.3x faster per update at identical update count.
+Coverage proof (per axis): ``c1 - 1 in {a, a+1}`` by the floor, so
+``c1 in {a+1, a+2}`` and the pair's second cell ``c2 in c1 +- 1`` lies in
+``[a, a+3]`` — all inside the window's 4 cells, for ANY movement direction.
+Eval offsets relative to the anchor are therefore in [0, 3].
 
-Validity precondition for the windowed gather: per-step per-axis movement
-``ds * max|v| <= h``.  Since ``|v| = n`` and every reference experiment keeps
-``n <= sqrt(2) < 2`` (Luneburg/fiber peak index), the tracer API enables this
-path when ``ds <= h/2`` and falls back to the classic cell-table path
-otherwise (tracer/api.py); override with ANRT_FAST_PATH=paired|classic.
-
-All math is kept in (N, 64)/(N, 8) lane layouts — never (N, 4, 4, 4), which
-wastes the (8, 128) hardware tiles — so XLA fuses the weight-pattern products
-and row-sums into a single pass over the gathered rows.
+All math is kept in (N, 125) lane layouts — never (N, 5, 5, 5), which
+wastes the (8, 128) hardware tiles — so XLA fuses the weight-pattern
+products and row-sums into a single pass over the gathered rows.
 
 Semantics are identical to fields/cells.py (same clamped extended-cell
-indexing, same interpolation math, different summation order only); asserted
-against the classic path by tests/test_paired.py.
+indexing, same interpolation math, different summation order only);
+asserted against the classic path by tests/test_paired.py.
 
 Reference parity: the node values and clamping reproduce
 /root/reference/src/volume.cpp:101-181 exactly, as fields/grid.py does.
@@ -47,43 +45,64 @@ import jax
 import jax.numpy as jnp
 
 from .grid import GridField
-from . import cells as CT
+
+_W = 5                 # nodes per axis in a window
+_LANES = _W ** 3       # 125 live lanes
+_ROW = 128             # physical row width: padded to the (8, 128) tile so
+#                        row gathers/scatters stay on the fast vectorized
+#                        lowering (a 125-wide row scalarizes, ~1000x slower)
 
 
 class WindowField(NamedTuple):
-    """Node-window view: table ((res_z+1)*(res_y+1)*(res_x+1), 64).
+    """Snapped-window view: table (sz*sy*sx, 128; 125 live lanes).
 
-    Row ``c`` (flat extended-cell index, same convention as
-    cells.CellField) holds the 4^3 nodes ``data[clip(c-2+m, 0, res-1)]``
-    for m in 0..3 per axis; lane = (mz*4 + my)*4 + mx.
+    Site ``s`` (per-axis) holds the 5^3 nodes of the even-lattice anchor
+    ``a = 2*s - 2``: lane m = (mz*5 + my)*5 + mx stores
+    ``data[clip(a - 1 + m_axis, 0, res-1)]`` per axis.  Lanes 125..127 are
+    dead padding (zero weights in every pattern).
     """
 
-    table: jax.Array  # (ext_z*ext_y*ext_x, 64)
+    table: jax.Array   # (sz*sy*sx, 128)
     h: jax.Array | float
-    res: tuple  # (res_x, res_y, res_z) voxel resolution
+    res: tuple         # (res_x, res_y, res_z) voxel resolution
+    sites: tuple       # (sx, sy, sz) anchor-site counts
+
+
+def n_sites(res_axis: int) -> int:
+    """Anchor sites along one axis: a in {-2, 0, ..., 2*floor((res-1)/2)}."""
+    return (res_axis - 1) // 2 + 2
 
 
 def window_bytes(shape, itemsize: int) -> int:
-    """HBM footprint of the window table for a (D, H, W) field."""
+    """HBM footprint of the snapped window table for a (D, H, W) field."""
     d, hgt, wid = shape
-    return (d + 1) * (hgt + 1) * (wid + 1) * 64 * itemsize
+    return n_sites(d) * n_sites(hgt) * n_sites(wid) * _ROW * itemsize
 
 
 def build_window_table(field: GridField) -> WindowField:
-    """Dense construction from the twice-edge-padded volume."""
+    """Dense construction from the 3-wide edge-padded volume.
+
+    P3[i] = data[clip(i-3)]; site s, axis-lane m reads node ``2s - 3 + m``
+    = P3[2s + m], i.e. a stride-2 slice at offset m.
+    """
     data = field.data  # (D, H, W)
     d, hgt, wid = data.shape
-    P2 = jnp.pad(data, 2, mode="edge")  # P2[i] = data[clip(i-2)]
+    sx, sy, sz = n_sites(wid), n_sites(hgt), n_sites(d)
+    P3 = jnp.pad(data, 3, mode="edge")
 
     rows = []
-    for mz in range(4):
-        for my in range(4):
-            for mx in range(4):
+    for mz in range(_W):
+        for my in range(_W):
+            for mx in range(_W):
                 rows.append(jax.lax.slice(
-                    P2, (mz, my, mx),
-                    (mz + d + 1, my + hgt + 1, mx + wid + 1)))
-    table = jnp.stack(rows, axis=-1)  # (D+1, H+1, W+1, 64)
-    return WindowField(table.reshape(-1, 64), field.h, (wid, hgt, d))
+                    P3, (mz, my, mx),
+                    (mz + 2 * (sz - 1) + 1, my + 2 * (sy - 1) + 1,
+                     mx + 2 * (sx - 1) + 1),
+                    (2, 2, 2)))
+    table = jnp.stack(rows, axis=-1)  # (sz, sy, sx, 125)
+    table = table.reshape(-1, _LANES)
+    table = jnp.pad(table, ((0, 0), (0, _ROW - _LANES)))  # dead lanes
+    return WindowField(table, field.h, (wid, hgt, d), (sx, sy, sz))
 
 
 def cell_index3(wf: WindowField, p: jax.Array):
@@ -100,72 +119,80 @@ def cell_index3(wf: WindowField, p: jax.Array):
     return ci3, w0
 
 
-def flatten_ci3(wf: WindowField, ci3: jax.Array):
-    wid, hgt, _ = wf.res
-    return (ci3[:, 2] * (hgt + 1) + ci3[:, 1]) * (wid + 1) + ci3[:, 0]
+def anchor_row(wf: WindowField, ci3: jax.Array):
+    """Even-lattice anchor of the pair whose first eval cell is ``ci3``.
+
+    Returns (a3 (N,3) int32 anchors, row (N,) flat site index).
+    """
+    a3 = 2 * ((ci3 - 1) // 2)          # even, in [-2, 2*floor((res-1)/2)]
+    s3 = (a3 + 2) >> 1                 # site index, in [0, n_sites-1]
+    sx, sy, _ = wf.sites
+    row = (s3[:, 2] * sy + s3[:, 1]) * sx + s3[:, 0]
+    return a3, row
 
 
 def fetch_window(wf: WindowField, p: jax.Array):
-    """One (N, 64) row gather anchored at p's cell: (W, w0, ci3)."""
+    """One (N, 125) row gather anchored at p's snapped site: (W, a3, ci3, w0)."""
     ci3, w0 = cell_index3(wf, p)
-    W = wf.table.at[flatten_ci3(wf, ci3)].get(mode="promise_in_bounds")
-    return W, ci3, w0
+    a3, row = anchor_row(wf, ci3)
+    W = wf.table.at[row].get(mode="promise_in_bounds")
+    return W, a3, ci3, w0
 
 
 def _lane_axes(dtype=jnp.int32):
-    lane = jnp.arange(64, dtype=dtype)
-    return lane % 4, (lane // 4) % 4, lane // 16  # mx, my, mz
+    """Per-lane (mx, my, mz) window-node coordinates; dead pad lanes get a
+    sentinel that never matches any offset, zeroing their weights."""
+    lane = jnp.arange(_ROW, dtype=dtype)
+    mx = lane % _W
+    my = (lane // _W) % _W
+    mz = lane // (_W * _W)
+    dead = lane >= _LANES
+    sent = jnp.int32(-(10 ** 6))
+    return (jnp.where(dead, sent, mx), jnp.where(dead, sent, my),
+            jnp.where(dead, sent, mz))
 
 
 def _axis_weights(m_lane, off, w0):
-    """(N, 64) interpolation weights along one axis: (1-w0) at lane==off,
-    w0 at lane==off+1, zero elsewhere.  ``off`` is (N,) int32 (or a python
-    int for the static first substep)."""
-    if isinstance(off, int):
-        o = jnp.int32(off)
-        w = jnp.where(m_lane[None, :] == o, 1.0 - w0[:, None], 0.0)
-        return w + jnp.where(m_lane[None, :] == o + 1, w0[:, None], 0.0)
+    """(N, 125) interpolation weights along one axis: (1-w0) at lane==off,
+    w0 at lane==off+1, zero elsewhere.  ``off`` is (N,) int32."""
     o = off[:, None]
     w = jnp.where(m_lane[None, :] == o, 1.0 - w0[:, None], 0.0)
     return w + jnp.where(m_lane[None, :] == o + 1, w0[:, None], 0.0)
 
 
 def _axis_dweights(m_lane, off, like):
-    """(N, 64) difference pattern along one axis: -1 at off, +1 at off+1."""
-    if isinstance(off, int):
-        o = jnp.int32(off)
-        pos = (m_lane[None, :] == o + 1)
-        neg = (m_lane[None, :] == o)
-        return pos.astype(like.dtype) - neg.astype(like.dtype)
+    """(N, 125) difference pattern along one axis: -1 at off, +1 at off+1."""
     o = off[:, None]
     pos = (m_lane[None, :] == o + 1)
     neg = (m_lane[None, :] == o)
     return pos.astype(like.dtype) - neg.astype(like.dtype)
 
 
-def eval_window(W, off3, w0, h, mask=None, want_hess=False):
+def eval_window(W, off3, w0, h, mask=None, want_hess=False,
+                want_patterns=False):
     """Trilinear value/gradient (and off-diagonal Hessian) from a window row.
 
-    ``off3``: per-axis window offsets of the evaluation cell — either the
-    python int 1 (the anchor cell itself, first substep) or an (N, 3) int32
-    array (second substep), normally in [0, 2].  Offsets outside [0, 2] mean
-    the ``ds * n <= h`` movement precondition was violated (the window no
-    longer covers the eval cell); for masked-active rays the value is
-    poisoned to NaN so the failure is loud instead of silently wrong
-    (disable with ANRT_CHECK_WINDOW=0).  Same math as cells.eval_grad_from /
+    ``off3``: (N, 3) int32 per-axis window offsets of the evaluation cell,
+    normally in [0, 3].  Offsets outside [0, 3] mean the ``ds * n <= h``
+    movement precondition was violated (the window no longer covers the
+    eval cell); for masked-active rays the value is poisoned to NaN so the
+    failure is loud instead of silently wrong (disable with
+    ANRT_CHECK_WINDOW=0).  Same math as cells.eval_grad_from /
     eval_hess_from (volume.cpp:101-181, :40-99), different summation order.
+
+    ``want_patterns`` additionally returns the (N, 125) per-axis weight /
+    difference patterns ``(wx, wy, wz, dwx, dwy, dwz)`` — the adjoint splat
+    (window_contrib) is exactly their transpose combination, so the backward
+    sweep reuses them instead of recomputing per-corner stacks.
     """
     mx, my, mz = _lane_axes()
     viol = None
-    if isinstance(off3, int):
-        ox = oy = oz = off3
-    else:
-        if os.environ.get("ANRT_CHECK_WINDOW", "1") != "0":
-            viol = jnp.any((off3 < 0) | (off3 > 2), axis=-1)
-            if mask is not None:
-                viol = viol & mask
-        off3 = jnp.clip(off3, 0, 2)
-        ox, oy, oz = off3[:, 0], off3[:, 1], off3[:, 2]
+    if os.environ.get("ANRT_CHECK_WINDOW", "1") != "0":
+        viol = jnp.any((off3 < 0) | (off3 > _W - 2), axis=-1)
+        if mask is not None:
+            viol = viol & mask
+    off3 = jnp.clip(off3, 0, _W - 2)
+    ox, oy, oz = off3[:, 0], off3[:, 1], off3[:, 2]
 
     if mask is not None:
         W = jnp.where(mask[:, None], W, 0.0)
@@ -186,82 +213,107 @@ def eval_window(W, off3, w0, h, mask=None, want_hess=False):
     gy = jnp.sum(W * (wx * dwy * wz), axis=-1) * inv_h
     gz = jnp.sum(W * (wx * wy * dwz), axis=-1) * inv_h
     grad = jnp.stack([gx, gy, gz], axis=-1)
-    if not want_hess:
-        return n, grad
+    out = (n, grad)
+    if want_hess:
+        inv_h2 = inv_h * inv_h
+        hxy = jnp.sum(W * (dwx * dwy * wz), axis=-1) * inv_h2
+        hxz = jnp.sum(W * (dwx * wy * dwz), axis=-1) * inv_h2
+        hyz = jnp.sum(W * (wx * dwy * dwz), axis=-1) * inv_h2
+        out = out + ((hxy, hxz, hyz),)
+    if want_patterns:
+        out = out + ((wx, wy, wz, dwx, dwy, dwz),)
+    return out
 
-    inv_h2 = inv_h * inv_h
-    hxy = jnp.sum(W * (dwx * dwy * wz), axis=-1) * inv_h2
-    hxz = jnp.sum(W * (dwx * wy * dwz), axis=-1) * inv_h2
-    hyz = jnp.sum(W * (wx * dwy * dwz), axis=-1) * inv_h2
-    return n, grad, (hxy, hxz, hyz)
+
+# ---------------------------------------------------------------------------
+# Window-lane gradient accumulation (adjoint scatter target)
+# ---------------------------------------------------------------------------
+#
+# Both substeps of a pair splat onto the anchor's 125 window nodes, so their
+# contributions accumulate in-register into a single (N, 125) row and issue
+# ONE row scatter per pair — the scatter serializer is per-row latency
+# bound, so this halves scatter time vs per-substep rows.  The destination
+# is the (sites^3, 125) snapped table: 4x fewer bytes than a per-cell window
+# table, which matters because scatter per-row cost grows with the
+# destination's size (pallas/README.md measurements).
 
 
-def window_offsets(ci3_anchor: jax.Array, ci3_eval: jax.Array):
-    """Per-axis offsets of the eval cell within the anchor's window.
+def zero_window_grad(wf: WindowField, dtype) -> jax.Array:
+    return jnp.zeros((wf.table.shape[0], _ROW), dtype=dtype)
 
-    In-range [0, 2] is guaranteed by the ``ds * n_max <= h`` precondition.
-    Returned unclipped: eval_window clips defensively and (by default)
-    NaN-poisons active rays whose offset left the window, so a precondition
-    violation surfaces loudly instead of producing silently wrong results.
+
+def window_contrib(patterns, val, grad, h, mask=None):
+    """(N, 125) window-node contribution rows: transpose of eval_window.
+
+    ``val``/``grad`` are the value and gradient cotangents to deposit
+    (already scaled by ds by the caller, matching volume.cpp:182-244 /
+    cells.splat_rows).  ``patterns`` comes from eval_window(want_patterns).
     """
-    return ci3_eval - ci3_anchor + 1
+    wx, wy, wz, dwx, dwy, dwz = patterns
+    inv_h = jnp.asarray(1.0 / h, dtype=val.dtype)
+    cw = (val[:, None] * (wx * wy * wz)
+          + (grad[:, 0] * inv_h)[:, None] * (dwx * wy * wz)
+          + (grad[:, 1] * inv_h)[:, None] * (wx * dwy * wz)
+          + (grad[:, 2] * inv_h)[:, None] * (wx * wy * dwz))
+    if mask is not None:
+        cw = jnp.where(mask[:, None], cw, 0.0)
+    return cw
 
 
-# ---------------------------------------------------------------------------
-# Supercell gradient accumulation (adjoint scatter target)
-# ---------------------------------------------------------------------------
+def scatter_window(g: jax.Array, row_idx: jax.Array, cw: jax.Array):
+    """One (N, 128) row scatter-add into the window-grad table (dead pad
+    lanes carry zero contributions)."""
+    return g.at[row_idx].add(cw, mode="promise_in_bounds")
 
 
-# Supercell shape (cells per axis): 4 along x, 2 along y/z -> 16 cells x 8
-# corners = 128-lane rows.  Measured v5e scatter: 128-wide rows cost 3.4 ms
-# per 262k updates vs 3.8 ms at 64 and 11.2 ms at 8 (pallas/README.md).
-_SX, _SY, _SZ = 4, 2, 2
-_SLOTS = _SX * _SY * _SZ
+def fold_window_grad(g: jax.Array, wf: WindowField) -> jax.Array:
+    """Collapse the window-grad table into the voxel gradient.
 
-
-def super_dims(wf_res):
-    wid, hgt, d = wf_res
-    ext_x, ext_y, ext_z = wid + 1, hgt + 1, d + 1
-    return ((ext_x + _SX - 1) // _SX, (ext_y + _SY - 1) // _SY,
-            (ext_z + _SZ - 1) // _SZ)
-
-
-def zero_super_grad(wf: WindowField, dtype) -> jax.Array:
-    sxc, syc, szc = super_dims(wf.res)
-    return jnp.zeros((szc * syc * sxc, _SLOTS * 8), dtype=dtype)
-
-
-def scatter_super(wf: WindowField, g: jax.Array, ci3: jax.Array,
-                  contrib8: jax.Array) -> jax.Array:
-    """One (N, 128) row scatter-add: cell ci3's 8-corner contribution lands
-    in its 4x2x2 supercell at lane block slot*8..slot*8+8."""
-    sxc, syc, _ = super_dims(wf.res)
-    scx = ci3[:, 0] // _SX
-    scy = ci3[:, 1] // _SY
-    scz = ci3[:, 2] // _SZ
-    slot = ((ci3[:, 2] % _SZ) * _SY + (ci3[:, 1] % _SY)) * _SX \
-        + (ci3[:, 0] % _SX)
-    row_idx = (scz * syc + scy) * sxc + scx
-
-    lane_slot = jnp.arange(_SLOTS * 8, dtype=jnp.int32) // 8
-    row = jnp.where(lane_slot[None, :] == slot[:, None],
-                    jnp.tile(contrib8, (1, _SLOTS)), 0.0)
-    return g.at[row_idx].add(row, mode="promise_in_bounds")
-
-
-def fold_super_grad(g: jax.Array, wf: WindowField) -> jax.Array:
-    """Un-interleave the supercell table into the voxel gradient.
-
-    Supercell slots expand back to the extended cell table (cells.CellField
-    layout), which cells.fold_cell_grad collapses to the voxel grid.
+    Transpose of build_window_table: lane m of site s deposited onto padded
+    node ``2s + m`` of the 3-wide edge-padded volume.  Writing ``m = 2q + r``
+    (q in 0..2, r in 0..1), padded node ``2(s+q) + r`` maps to element
+    [s+q, r] of an (S+2, 2)-per-axis strided view — so each lane folds in as
+    a contiguous slice-add (dynamic-update-slice, no scatter).  The 3-wide
+    edge pad then collapses into the boundary voxels (transpose of
+    P3[i] = data[clip(i-3, 0, res-1)]).
     """
     wid, hgt, d = wf.res
-    sxc, syc, szc = super_dims(wf.res)
-    # (szc, syc, sxc, slot_z, slot_y, slot_x, corner)
-    cg = g.reshape(szc, syc, sxc, _SZ, _SY, _SX, 8)
-    cg = jnp.transpose(cg, (0, 3, 1, 4, 2, 5, 6))
-    cg = cg.reshape(_SZ * szc, _SY * syc, _SX * sxc, 8)
-    cg = cg[: d + 1, : hgt + 1, : wid + 1]  # drop the unused parity pad
+    sx, sy, sz = wf.sites
+    t = g.reshape(sz, sy, sx, _ROW)  # lanes >= 125 are dead (all-zero)
+    gp = jnp.zeros((sz + 2, 2, sy + 2, 2, sx + 2, 2), dtype=g.dtype)
+    k = 0
+    for mz in range(_W):
+        qz, rz = divmod(mz, 2)
+        for my in range(_W):
+            qy, ry = divmod(my, 2)
+            for mx in range(_W):
+                qx, rx = divmod(mx, 2)
+                gp = gp.at[qz:qz + sz, rz, qy:qy + sy, ry,
+                           qx:qx + sx, rx].add(t[..., k])
+                k += 1
+    # linearize each axis: padded node index l = 2u + r
+    gp = gp.reshape(2 * (sz + 2), 2 * (sy + 2), 2 * (sx + 2))
+    # keep the real padded extent (res + 6 nodes), drop the alignment tail
+    gp = gp[: d + 6, : hgt + 6, : wid + 6]
 
-    cf = CT.CellField(cg, wf.h, wf.res)  # table only used for shape/res
-    return CT.fold_cell_grad(cg.reshape(-1, 8), cf)
+    def collapse3(axis, arr):
+        """Transpose of the 3-wide edge pad: padded node l holds
+        data[clip(l-3, 0, res-1)], so core l in [3, res+2] maps 1:1 onto
+        the voxels and the 3 clipped layers each side add into the
+        boundary voxels."""
+        n = arr.shape[axis]
+        lo = jax.lax.slice_in_dim(arr, 0, 3, axis=axis)
+        hi = jax.lax.slice_in_dim(arr, n - 3, n, axis=axis)
+        core = jax.lax.slice_in_dim(arr, 3, n - 3, axis=axis)
+        idx0 = [slice(None)] * core.ndim
+        idx0[axis] = 0
+        idxl = [slice(None)] * core.ndim
+        idxl[axis] = core.shape[axis] - 1
+        core = core.at[tuple(idx0)].add(jnp.sum(lo, axis=axis))
+        core = core.at[tuple(idxl)].add(jnp.sum(hi, axis=axis))
+        return core
+
+    out = gp
+    for ax in range(3):
+        out = collapse3(ax, out)
+    return out  # (d, hgt, wid)

@@ -47,19 +47,25 @@ def process_info():
                 global_devices=len(jax.devices()))
 
 
-def local_ray_slice(n_global: int):
+def local_ray_slice(n_global: int, n_shards: Optional[int] = None):
     """This host's contiguous ray range of the pad-and-mask global batch.
 
-    Returns ``(start, stop, n_valid)``: every host generates exactly
-    ``stop - start`` rays (equal shards of ``ceil(n_global / nproc) * nproc``
-    padded rays, same pad-and-mask convention as parallel.mesh.pad_rays);
-    rays with global index >= ``n_global`` — the last host's tail when the
-    count doesn't divide — must be masked inactive, and ``n_valid`` is how
-    many of this host's rays are real.
+    The global batch is padded up to a multiple of ``n_shards`` (default:
+    the global device count, so per-host slices stay divisible by the local
+    device count and shard cleanly onto the ray mesh) and split evenly
+    across processes.  Returns ``(start, stop, n_valid)``: every host
+    generates exactly ``stop - start`` rays; rays with global index >=
+    ``n_global`` — the trailing pad — must be masked inactive (same
+    pad-and-mask convention as parallel.mesh.pad_rays), and ``n_valid`` is
+    how many of this host's rays are real.
     """
     pc = jax.process_count()
     pi = jax.process_index()
-    per = -(-n_global // pc)  # ceil
+    if n_shards is None:
+        n_shards = len(jax.devices())
+    n_shards = max(n_shards, pc)
+    padded = -(-n_global // n_shards) * n_shards
+    per = padded // pc
     start, stop = pi * per, (pi + 1) * per
     n_valid = max(0, min(stop, n_global) - start)
     return start, stop, n_valid

@@ -1,10 +1,10 @@
-"""Paired-step eikonal steppers on the node-window formulation.
+"""Paired-step eikonal steppers on the snapped-window formulation.
 
 Numerically equivalent to tracer/fast.py (same per-step math, masks, exit
 capture — asserted by tests/test_paired.py) but each loop iteration performs
-TWO integration substeps from ONE (N, 64) window gather, and the adjoint
-scatters 128-wide 4x2x2-supercell rows.  Measured on v5e this roughly doubles
-end-to-end fwd+adjoint throughput (fields/windows.py has the measurements).
+TWO integration substeps from ONE (N, 125) window gather, and the adjoint
+issues ONE (N, 125) window-row scatter per pair (both substeps' splats land
+on the same snapped window; fields/windows.py has the design + measurements).
 
 Validity: the window covers both substeps only when the per-step per-axis
 movement ``ds * |v| = ds * n`` stays <= h.  tracer/api.py selects this path
@@ -30,15 +30,18 @@ def _where3(m, a, b):
     return jnp.where(m[:, None], a, b)
 
 
-def _substep_fwd(field, wf, W, ci3_anchor, x, v, xt, vt, inside, esc, ds,
+def _substep_fwd(field, wf, W, a3, ci3, x, v, xt, vt, inside, esc, ds,
                  valid):
-    """One forward substep evaluated from an already-gathered window."""
-    if ci3_anchor is None:
-        off3 = 1  # anchor cell itself: static offset
-        _, w0 = WD.cell_index3(wf, x)
-    else:
+    """One forward substep evaluated from an already-gathered window.
+
+    ``ci3`` is the eval cell when known (first substep, saves recomputing);
+    None for the second substep.
+    """
+    if ci3 is None:
         ci3, w0 = WD.cell_index3(wf, x)
-        off3 = WD.window_offsets(ci3_anchor, ci3)
+    else:
+        _, w0 = WD.cell_index3(wf, x)
+    off3 = ci3 - a3
     n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
     v2 = v + (ds * n)[:, None] * nx
     x2 = x + ds * v2
@@ -70,13 +73,11 @@ def trace(field: G.GridField, x0, v0, ds, max_steps: int):
 
     def body(s):
         step, x, v, xt, vt, inside, esc = s
-        ci3_a, _ = WD.cell_index3(wf, x)
-        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
-            mode="promise_in_bounds")
+        W, a3, ci3, _ = WD.fetch_window(wf, x)
         x, v, xt, vt, inside, esc = _substep_fwd(
-            field, wf, W, None, x, v, xt, vt, inside, esc, ds, None)
+            field, wf, W, a3, ci3, x, v, xt, vt, inside, esc, ds, None)
         x, v, xt, vt, inside, esc = _substep_fwd(
-            field, wf, W, ci3_a, x, v, xt, vt, inside, esc, ds,
+            field, wf, W, a3, None, x, v, xt, vt, inside, esc, ds,
             step + 1 < max_steps)
         return (step + 2, x, v, xt, vt, inside, esc)
 
@@ -92,13 +93,12 @@ def trace_plane(field: G.GridField, x0, v0, pln_o, pln_d, ds, max_steps: int):
     esc0 = jnp.zeros_like(inside0)
     ds = jnp.asarray(ds, dtype=x0.dtype)
 
-    def substep(W, ci3_a, x, v, xt, vt, inside, esc, valid):
-        if ci3_a is None:
-            off3 = 1
-            _, w0 = WD.cell_index3(wf, x)
-        else:
+    def substep(W, a3, ci3, x, v, xt, vt, inside, esc, valid):
+        if ci3 is None:
             ci3, w0 = WD.cell_index3(wf, x)
-            off3 = WD.window_offsets(ci3_a, ci3)
+        else:
+            _, w0 = WD.cell_index3(wf, x)
+        off3 = ci3 - a3
         n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
         v2 = v + (ds * n)[:, None] * nx
         x2 = x + ds * v2
@@ -124,13 +124,11 @@ def trace_plane(field: G.GridField, x0, v0, pln_o, pln_d, ds, max_steps: int):
 
     def body(s):
         step, x, v, xt, vt, inside, esc = s
-        ci3_a, _ = WD.cell_index3(wf, x)
-        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
-            mode="promise_in_bounds")
+        W, a3, ci3, _ = WD.fetch_window(wf, x)
         x, v, xt, vt, inside, esc = substep(
-            W, None, x, v, xt, vt, inside, esc, None)
+            W, a3, ci3, x, v, xt, vt, inside, esc, None)
         x, v, xt, vt, inside, esc = substep(
-            W, ci3_a, x, v, xt, vt, inside, esc, step + 1 < max_steps)
+            W, a3, None, x, v, xt, vt, inside, esc, step + 1 < max_steps)
         return (step + 2, x, v, xt, vt, inside, esc)
 
     _, x, v, xt, vt, _, esc = lax.while_loop(
@@ -146,13 +144,12 @@ def trace_target(field: G.GridField, x0, v0, target, ds, max_steps: int):
     ds = jnp.asarray(ds, dtype=x0.dtype)
     d20 = jnp.sum((x0 - target) ** 2, axis=-1)
 
-    def substep(W, ci3_a, x, v, xt, vt, d2, inside, esc, valid):
-        if ci3_a is None:
-            off3 = 1
-            _, w0 = WD.cell_index3(wf, x)
-        else:
+    def substep(W, a3, ci3, x, v, xt, vt, d2, inside, esc, valid):
+        if ci3 is None:
             ci3, w0 = WD.cell_index3(wf, x)
-            off3 = WD.window_offsets(ci3_a, ci3)
+        else:
+            _, w0 = WD.cell_index3(wf, x)
+        off3 = ci3 - a3
         n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
         v2 = v + (ds * n)[:, None] * nx
         x2 = x + ds * v2
@@ -183,13 +180,12 @@ def trace_target(field: G.GridField, x0, v0, target, ds, max_steps: int):
 
     def body(s):
         step, x, v, xt, vt, d2, inside, esc = s
-        ci3_a, _ = WD.cell_index3(wf, x)
-        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
-            mode="promise_in_bounds")
+        W, a3, ci3, _ = WD.fetch_window(wf, x)
         x, v, xt, vt, d2, inside, esc = substep(
-            W, None, x, v, xt, vt, d2, inside, esc, None)
+            W, a3, ci3, x, v, xt, vt, d2, inside, esc, None)
         x, v, xt, vt, d2, inside, esc = substep(
-            W, ci3_a, x, v, xt, vt, d2, inside, esc, step + 1 < max_steps)
+            W, a3, None, x, v, xt, vt, d2, inside, esc,
+            step + 1 < max_steps)
         return (step + 2, x, v, xt, vt, d2, inside, esc)
 
     _, x, v, xt, vt, d2, _, esc = lax.while_loop(
@@ -201,19 +197,19 @@ def trace_sdf(field: G.GridField, sdf: G.GridField, x0, v0, ds,
               max_steps: int):
     wf = WD.build_window_table(field)
     cf_sdf = CT.build_cell_table(sdf)  # sdf only ever evals at its own cell:
-    # an 8-wide row gather costs the same as 64-wide (per-row bound) at 1/8th
-    # the table memory, so the classic cell table is the right fetch here.
+    # an 8-wide row gather costs the same as 125-wide (per-row bound) at a
+    # fraction of the table memory, so the classic cell table is the right
+    # fetch here.
     inside0 = G.inbounds(field, x0)
     esc0 = jnp.zeros_like(inside0)
     ds = jnp.asarray(ds, dtype=x0.dtype)
 
-    def substep(W, ci3_a, x, v, xt, vt, inside, esc, valid):
-        if ci3_a is None:
-            off3 = 1
-            _, w0 = WD.cell_index3(wf, x)
-        else:
+    def substep(W, a3, ci3, x, v, xt, vt, inside, esc, valid):
+        if ci3 is None:
             ci3, w0 = WD.cell_index3(wf, x)
-            off3 = WD.window_offsets(ci3_a, ci3)
+        else:
+            _, w0 = WD.cell_index3(wf, x)
+        off3 = ci3 - a3
         n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
         v2 = v + (ds * n)[:, None] * nx
         x2 = x + ds * v2
@@ -243,13 +239,11 @@ def trace_sdf(field: G.GridField, sdf: G.GridField, x0, v0, ds,
 
     def body(s):
         step, x, v, xt, vt, inside, esc = s
-        ci3_a, _ = WD.cell_index3(wf, x)
-        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
-            mode="promise_in_bounds")
+        W, a3, ci3, _ = WD.fetch_window(wf, x)
         x, v, xt, vt, inside, esc = substep(
-            W, None, x, v, xt, vt, inside, esc, None)
+            W, a3, ci3, x, v, xt, vt, inside, esc, None)
         x, v, xt, vt, inside, esc = substep(
-            W, ci3_a, x, v, xt, vt, inside, esc,
+            W, a3, None, x, v, xt, vt, inside, esc,
             step + 1 < max_steps)
         return (step + 2, x, v, xt, vt, inside, esc)
 
@@ -260,35 +254,46 @@ def trace_sdf(field: G.GridField, sdf: G.GridField, x0, v0, ds,
 
 def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
               axis_name=None):
-    """Constant-memory adjoint: paired window gathers + supercell scatters."""
+    """Constant-memory adjoint: ONE window gather + ONE (N, 125) window-row
+    scatter per pair of substeps.
+
+    Both substeps' splats land on the pair's snapped 5^3 window nodes (eval
+    offsets stay in [0, 3] under the ds*n <= h precondition), so their
+    contributions accumulate in-register into a single row — the scatter
+    serializer is per-row bound, so this halves scatter time vs per-substep
+    rows, into a destination table 4x smaller than per-cell windows
+    (fields/windows.py, pallas/README.md).
+    """
     wf = WD.build_window_table(field)
     ds = jnp.asarray(ds, dtype=xt.dtype)
     la0 = dx
     mu0 = dv + ds * dx
     active0 = ~G.escaped(field, xt, -vt)
-    g0 = WD.zero_super_grad(wf, xt.dtype)
+    g0 = WD.zero_window_grad(wf, xt.dtype)
     if axis_name is not None:
         g0 = lax.pcast(g0, axis_name, to="varying")
 
-    def substep(W, ci3_a, x, v, la, mu, active, g, valid):
+    def substep(W, a3, ci3, x, v, la, mu, active, valid):
         x2 = x - ds * v
         xe = G.snap_to_nodes(x2, field.h)
         emask = active & G.inbounds(field, xe)
-        ci3, w0 = WD.cell_index3(wf, xe)
-        off3 = 1 if ci3_a is None else WD.window_offsets(ci3_a, ci3)
-        n, nx, hess = WD.eval_window(W, off3, w0, field.h, mask=emask,
-                                     want_hess=True)
+        if ci3 is None:
+            ci3, w0 = WD.cell_index3(wf, xe)
+        else:
+            _, w0 = WD.cell_index3(wf, xe)
+        off3 = ci3 - a3
+        n, nx, hess, pat = WD.eval_window(W, off3, w0, field.h, mask=emask,
+                                          want_hess=True, want_patterns=True)
         v2 = v - (ds * n)[:, None] * nx
 
         active2 = active & ~G.escaped(field, xe, -v2)
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
-        contrib = CT.splat_rows(w0, dn * ds, dnx * ds, field.h,
-                                mask=active2 & emask)
+        cw = WD.window_contrib(pat, dn * ds, dnx * ds, field.h,
+                               mask=active2 & emask)
         if valid is not None:
-            contrib = jnp.where(valid, contrib, 0.0)
-        g2 = WD.scatter_super(wf, g, ci3, contrib)
+            cw = jnp.where(valid, cw, 0.0)
 
         la2 = la + ds * (dn[:, None] * nx
                          + n[:, None] * G.hess_matvec(hess, mu))
@@ -299,7 +304,7 @@ def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
             la2 = jnp.where(valid, la2, la)
             mu2 = jnp.where(valid, mu2, mu)
             active2 = jnp.where(valid, active2, active)
-        return x2, v2, la2, mu2, active2, g2, ci3
+        return x2, v2, la2, mu2, active2, cw
 
     def cond(s):
         step, *_, active, _g = s
@@ -307,20 +312,21 @@ def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
 
     def body(s):
         step, x, v, la, mu, active, g = s
-        # anchor the pair's window at the first reverse position
+        # anchor the pair's window at the first reverse eval position
         xa = G.snap_to_nodes(x - ds * v, field.h)
-        ci3_a, _ = WD.cell_index3(wf, xa)
-        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
-            mode="promise_in_bounds")
-        x, v, la, mu, active, g, _ = substep(
-            W, None, x, v, la, mu, active, g, None)
-        x, v, la, mu, active, g, _ = substep(
-            W, ci3_a, x, v, la, mu, active, g, step + 1 < max_steps)
+        ci3, _ = WD.cell_index3(wf, xa)
+        a3, row = WD.anchor_row(wf, ci3)
+        W = wf.table.at[row].get(mode="promise_in_bounds")
+        x, v, la, mu, active, cw1 = substep(
+            W, a3, ci3, x, v, la, mu, active, None)
+        x, v, la, mu, active, cw2 = substep(
+            W, a3, None, x, v, la, mu, active, step + 1 < max_steps)
+        g = WD.scatter_window(g, row, cw1 + cw2)
         return (step + 2, x, v, la, mu, active, g)
 
     _, _, _, _, _, _, g = lax.while_loop(
         cond, body, (0, xt, vt, la0, mu0, active0, g0))
-    return WD.fold_super_grad(g, wf).reshape(-1)
+    return WD.fold_window_grad(g, wf).reshape(-1)
 
 
 def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
@@ -334,18 +340,21 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
     vals_t, w0_t, _ = CT.fetch(cf_sdf, xt, active0)
     dist0, _ = CT.eval_grad_from(vals_t, w0_t, field.h)
     outside0 = dist0 >= 0
-    g0 = WD.zero_super_grad(wf, xt.dtype)
+    g0 = WD.zero_window_grad(wf, xt.dtype)
     if axis_name is not None:
         g0 = lax.pcast(g0, axis_name, to="varying")
 
-    def substep(W, ci3_a, x, v, la, mu, active, outside, g, valid):
+    def substep(W, a3, ci3, x, v, la, mu, active, outside, valid):
         x2 = x - ds * v
         xe = G.snap_to_nodes(x2, field.h)
         emask = active & G.inbounds(field, xe)
-        ci3, w0 = WD.cell_index3(wf, xe)
-        off3 = 1 if ci3_a is None else WD.window_offsets(ci3_a, ci3)
-        n, nx, hess = WD.eval_window(W, off3, w0, field.h, mask=emask,
-                                     want_hess=True)
+        if ci3 is None:
+            ci3, w0 = WD.cell_index3(wf, xe)
+        else:
+            _, w0 = WD.cell_index3(wf, xe)
+        off3 = ci3 - a3
+        n, nx, hess, pat = WD.eval_window(W, off3, w0, field.h, mask=emask,
+                                          want_hess=True, want_patterns=True)
         v2 = v - (ds * n)[:, None] * nx
 
         vals_s, w0_s, _ = CT.fetch(cf_sdf, xe, active)
@@ -358,11 +367,10 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
-        contrib = CT.splat_rows(w0, dn * ds, dnx * ds, field.h,
-                                mask=active2 & emask)
+        cw = WD.window_contrib(pat, dn * ds, dnx * ds, field.h,
+                               mask=active2 & emask)
         if valid is not None:
-            contrib = jnp.where(valid, contrib, 0.0)
-        g2 = WD.scatter_super(wf, g, ci3, contrib)
+            cw = jnp.where(valid, cw, 0.0)
 
         la2 = la + ds * (dn[:, None] * nx
                          + n[:, None] * G.hess_matvec(hess, mu))
@@ -374,7 +382,7 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
             mu2 = jnp.where(valid, mu2, mu)
             active2 = jnp.where(valid, active2, active)
             outside2 = jnp.where(valid, outside2, outside)
-        return x2, v2, la2, mu2, active2, outside2, g2
+        return x2, v2, la2, mu2, active2, outside2, cw
 
     def cond(s):
         step, *_, active, _o, _g = s
@@ -383,16 +391,17 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
     def body(s):
         step, x, v, la, mu, active, outside, g = s
         xa = G.snap_to_nodes(x - ds * v, field.h)
-        ci3_a, _ = WD.cell_index3(wf, xa)
-        W = wf.table.at[WD.flatten_ci3(wf, ci3_a)].get(
-            mode="promise_in_bounds")
-        x, v, la, mu, active, outside, g = substep(
-            W, None, x, v, la, mu, active, outside, g, None)
-        x, v, la, mu, active, outside, g = substep(
-            W, ci3_a, x, v, la, mu, active, outside, g,
+        ci3, _ = WD.cell_index3(wf, xa)
+        a3, row = WD.anchor_row(wf, ci3)
+        W = wf.table.at[row].get(mode="promise_in_bounds")
+        x, v, la, mu, active, outside, cw1 = substep(
+            W, a3, ci3, x, v, la, mu, active, outside, None)
+        x, v, la, mu, active, outside, cw2 = substep(
+            W, a3, None, x, v, la, mu, active, outside,
             step + 1 < max_steps)
+        g = WD.scatter_window(g, row, cw1 + cw2)
         return (step + 2, x, v, la, mu, active, outside, g)
 
     _, _, _, _, _, _, _, g = lax.while_loop(
         cond, body, (0, xt, vt, la0, mu0, active0, outside0, g0))
-    return WD.fold_super_grad(g, wf).reshape(-1)
+    return WD.fold_window_grad(g, wf).reshape(-1)

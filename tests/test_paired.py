@@ -1,8 +1,9 @@
 """Paired window stepper must be numerically equivalent to the classic path.
 
-tracer/paired.py changes the data movement (one (N, 64) window gather per two
-substeps, 64-wide supercell scatter) but not the math; results must match
-tracer/fast.py to summation-reordering tolerance at f64.
+tracer/paired.py changes the data movement (one (N, 125) snapped-window
+gather per two substeps, one (N, 125) window-row scatter per pair) but not
+the math; results must match tracer/fast.py to summation-reordering
+tolerance at f64.
 """
 
 import jax
@@ -39,8 +40,8 @@ class TestWindowEval:
         ])
         n_ref, nx_ref = G.eval_grad(f, p)
         h_ref = G.eval_hess(f, p)
-        W, _, w0 = WD.fetch_window(wf, p)
-        n, nx, hess = WD.eval_window(W, 1, w0, f.h, want_hess=True)
+        W, a3, ci3, w0 = WD.fetch_window(wf, p)
+        n, nx, hess = WD.eval_window(W, ci3 - a3, w0, f.h, want_hess=True)
         np.testing.assert_allclose(n, n_ref, atol=ATOL)
         np.testing.assert_allclose(nx, nx_ref, atol=ATOL)
         for a, b in zip(hess, h_ref):
@@ -59,10 +60,11 @@ class TestWindowEval:
         p_eval = p_anchor + delta
 
         ci3_a, _ = WD.cell_index3(wf, p_anchor)
-        W = wf.table[WD.flatten_ci3(wf, ci3_a)]
+        a3, row = WD.anchor_row(wf, ci3_a)
+        W = wf.table[row]
         ci3_b, w0 = WD.cell_index3(wf, p_eval)
-        off3 = WD.window_offsets(ci3_a, ci3_b)
-        assert int(jnp.min(off3)) >= 0 and int(jnp.max(off3)) <= 2
+        off3 = ci3_b - a3
+        assert int(jnp.min(off3)) >= 0 and int(jnp.max(off3)) <= 3
 
         n, nx = WD.eval_window(W, off3, w0, f.h)
         n_ref, nx_ref = G.eval_grad(f, p_eval)
@@ -75,14 +77,14 @@ class TestWindowEval:
         p = jax.random.uniform(jax.random.PRNGKey(7), (16, 3), minval=0.5,
                                maxval=3.0)
         mask = jnp.arange(16) % 2 == 0
-        W, _, w0 = WD.fetch_window(wf, p)
-        n, nx = WD.eval_window(W, 1, w0, f.h, mask=mask)
+        W, a3, ci3, w0 = WD.fetch_window(wf, p)
+        n, nx = WD.eval_window(W, ci3 - a3, w0, f.h, mask=mask)
         n_ref, nx_ref = G.eval_grad(f, p, mask)
         np.testing.assert_allclose(n, n_ref, atol=ATOL)
         np.testing.assert_allclose(nx, nx_ref, atol=ATOL)
 
 
-class TestSupercellScatter:
+class TestWindowScatter:
     def test_scatter_fold_matches_cell_path(self):
         f = rand_field(jax.random.PRNGKey(8))
         wf = WD.build_window_table(f)
@@ -99,12 +101,52 @@ class TestSupercellScatter:
         g_ref = CT.fold_cell_grad(
             CT.scatter_rows(CT.zero_cell_grad(cf), ci_flat, rows), cf)
 
-        ci3, w0b = WD.cell_index3(wf, p)
+        W, a3, ci3, w0b = WD.fetch_window(wf, p)
         np.testing.assert_allclose(w0b, w0, atol=ATOL)
-        rows2 = CT.splat_rows(w0b, val, grad, f.h)
-        g = WD.fold_super_grad(
-            WD.scatter_super(wf, WD.zero_super_grad(wf, rows2.dtype),
-                             ci3, rows2), wf)
+        _, _, pat = WD.eval_window(W, ci3 - a3, w0b, f.h,
+                                   want_patterns=True)
+        cw = WD.window_contrib(pat, val, grad, f.h)
+        g = WD.fold_window_grad(
+            WD.scatter_window(WD.zero_window_grad(wf, cw.dtype),
+                              WD.anchor_row(wf, ci3)[1], cw), wf)
+        np.testing.assert_allclose(g, g_ref, atol=ATOL)
+
+    def test_pair_combined_scatter(self):
+        """Two substep contributions through ONE anchored row must equal two
+        independent cell-path splats."""
+        f = rand_field(jax.random.PRNGKey(20))
+        cf = CT.build_cell_table(f)
+        wf = WD.build_window_table(f)
+        span = (f.data.shape[0] - 1) * f.h
+        p1 = jax.random.uniform(jax.random.PRNGKey(21), (64, 3), minval=0.0,
+                                maxval=span)
+        delta = jax.random.uniform(jax.random.PRNGKey(22), (64, 3),
+                                   minval=-f.h, maxval=f.h)
+        p2 = p1 + delta
+        vals = [jax.random.normal(jax.random.PRNGKey(23 + i), (64,))
+                for i in range(2)]
+        grads = [jax.random.normal(jax.random.PRNGKey(25 + i), (64, 3))
+                 for i in range(2)]
+
+        g_ref = 0.0
+        for p, val, grad in zip([p1, p2], vals, grads):
+            rows = CT.splat_rows(CT.fetch(cf, p)[1], val, grad, f.h)
+            ci_flat, _ = CT.cell_index(cf, p)
+            g_ref = g_ref + CT.fold_cell_grad(
+                CT.scatter_rows(CT.zero_cell_grad(cf), ci_flat, rows), cf)
+
+        W, a3, ci3, w0_1 = WD.fetch_window(wf, p1)
+        row = WD.anchor_row(wf, ci3)[1]
+        ci3_2, w0_2 = WD.cell_index3(wf, p2)
+        cw = 0.0
+        for ci, w0, val, grad in zip([ci3, ci3_2], [w0_1, w0_2], vals,
+                                     grads):
+            _, _, pat = WD.eval_window(W, ci - a3, w0, f.h,
+                                       want_patterns=True)
+            cw = cw + WD.window_contrib(pat, val, grad, f.h)
+        g = WD.fold_window_grad(
+            WD.scatter_window(WD.zero_window_grad(wf, jnp.float64), row,
+                              cw), wf)
         np.testing.assert_allclose(g, g_ref, atol=ATOL)
 
 
