@@ -19,3 +19,22 @@ jax.config.update("jax_platforms", "cpu")
 # Math-validation tests run in float64 on CPU for tight tolerances; the
 # package itself is dtype-polymorphic (bench/TPU paths run float32).
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (full-depth suite)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite stays under ~5 min CPU (VERDICT r1 item 10): tests
+    marked ``slow`` (each >20 s, pure extra depth over a fast twin) skip
+    unless --runslow / -m slow is given."""
+    if config.getoption("--runslow") or "slow" in config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow; use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
