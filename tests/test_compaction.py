@@ -1,0 +1,89 @@
+"""Exit-step compaction: bucketed trace must be exactly plain trace."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adjointnonlinearraytracing_tpu import tracer
+from adjointnonlinearraytracing_tpu.tracer import compaction
+
+
+def _spread_case(res=17, n=96, span=4.0, seed=3):
+    rng = np.random.default_rng(seed)
+    x = np.stack([rng.uniform(0, span, n), np.full(n, -1e-3),
+                  rng.uniform(0, span, n)], axis=1)
+    pitch = rng.uniform(0.05, 1.0, n)
+    yaw = rng.uniform(0, 2 * np.pi, n)
+    horiz = np.sqrt(1 - pitch ** 2)
+    v = np.stack([horiz * np.cos(yaw), pitch, horiz * np.sin(yaw)], axis=1)
+    idx = np.arange(res) * (span / (res - 1))
+    z, y, xx = np.meshgrid(idx, idx, idx, indexing="ij")
+    c = span / 2
+    rif = 1.0 + 0.1 * np.exp(-((xx - c) ** 2 + (y - c) ** 2 + (z - c) ** 2)
+                             / (span / 3) ** 2)
+    return (jnp.asarray(rif), jnp.asarray(x), jnp.asarray(v),
+            span / (res - 1))
+
+
+class TestChordSteps:
+    def test_through_center_and_miss(self):
+        rif, _, _, h = _spread_case()
+        span = (rif.shape[0] - 1) * h
+        ds = h / 2
+        x = jnp.asarray([[span / 2, -1.0, span / 2],   # straight through
+                         [span * 10, -1.0, span / 2]])  # misses the box
+        v = jnp.asarray([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+        steps = compaction.chord_steps(rif.shape, h, x, v, ds)
+        assert abs(float(steps[0]) - span / ds) < 3
+        assert float(steps[1]) == 0.0
+
+    def test_spread_statistic(self):
+        rif, x, v, h = _spread_case()
+        assert compaction.chord_spread(rif.shape, h, x, v, h / 2) >= 2.0
+
+
+class TestBucketedExactness:
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_outputs_match_trace(self, k):
+        rif, x, v, h = _spread_case()
+        ds = h / 2
+        xt0, vt0 = tracer.trace(rif, x, v, h, ds)
+        xt1, vt1 = compaction.trace_bucketed(rif, x, v, h, ds, nbuckets=k)
+        np.testing.assert_allclose(xt1, xt0, rtol=0, atol=0)
+        np.testing.assert_allclose(vt1, vt0, rtol=0, atol=0)
+
+    def test_gradients_match_trace(self):
+        rif, x, v, h = _spread_case()
+        ds = h / 2
+
+        def loss_plain(r):
+            xt, vt = tracer.trace(r, x, v, h, ds)
+            return jnp.sum(xt ** 2) + jnp.sum(xt * vt)
+
+        def loss_bucketed(r):
+            xt, vt = compaction.trace_bucketed(r, x, v, h, ds, nbuckets=4)
+            return jnp.sum(xt ** 2) + jnp.sum(xt * vt)
+
+        g0 = jax.grad(loss_plain)(rif)
+        g1 = jax.grad(loss_bucketed)(rif)
+        np.testing.assert_allclose(g1, g0, rtol=1e-12, atol=1e-14)
+
+    def test_indivisible_falls_back(self):
+        rif, x, v, h = _spread_case(n=97)
+        ds = h / 2
+        xt0, vt0 = tracer.trace(rif, x, v, h, ds)
+        xt1, vt1 = compaction.trace_bucketed(rif, x, v, h, ds, nbuckets=4)
+        np.testing.assert_allclose(xt1, xt0, atol=0)
+
+    def test_jits(self):
+        rif, x, v, h = _spread_case()
+        ds = h / 2
+
+        @jax.jit
+        def f(r):
+            return compaction.trace_bucketed(r, x, v, h, ds, nbuckets=4)
+
+        xt, vt = f(rif)
+        xt0, vt0 = tracer.trace(rif, x, v, h, ds)
+        np.testing.assert_allclose(xt, xt0, atol=0)
