@@ -170,7 +170,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
         statename=f"{result_dir}/result" if result_dir else None,
-        key=jax.random.PRNGKey(seed))
+        key=jax.random.PRNGKey(seed),
+        resume_from=params.get("resume_from"))
 
     if result_dir is not None:
         from ..utils.plotting import save_loss_plot

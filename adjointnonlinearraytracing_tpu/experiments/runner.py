@@ -134,9 +134,16 @@ def run(path: str, section: Optional[str] = None,
             scene = voxel_scenes.gaussian_bump(
                 params.get("res_list", [33])[-1], params.get("vol_span", 10))
             gen = dict(params)
-            gen["source_image"] = l2ball_sdf(nbins, params.get("vol_span", 10))
+            # emission weights must be non-negative (the reference uses
+            # sum-normalized captures): a disk indicator, not the raw SDF
+            gen["source_image"] = jnp.maximum(
+                -l2ball_sdf(nbins, params.get("vol_span", 10)), 0.0)
             stack = focalstack.make_synthetic_stack(scene, gen)
-            params.setdefault("source_image", gen["source_image"])
+            # the lkfs* YAML sections carry ``source_image: true`` (use the
+            # in-focus capture) — with no capture shipped, replace the bool
+            # placeholder with the synthetic emission outright
+            if params.get("source_image") in (None, True):
+                params["source_image"] = gen["source_image"]
         elif params.get("source_image") is True or "source_image" not in params:
             # reference 'srciminfocus' sections: emission sampled from the
             # in-focus capture (params-legoknight-fs.yaml:118-128)

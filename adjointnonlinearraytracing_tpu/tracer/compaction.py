@@ -37,7 +37,11 @@ def chord_steps(shape, h, x, v, ds):
     """
     extent = jnp.asarray([(s - 1) * h for s in (shape[2], shape[1], shape[0])],
                          dtype=x.dtype)
-    inv = jnp.where(jnp.abs(v) > 1e-12, 1.0 / v, jnp.inf)
+    # large-finite sentinel, not inf: a ray starting exactly on a slab plane
+    # with zero velocity in that axis would hit 0*inf = NaN and be misplaced
+    # into the shortest bucket (ADVICE r2)
+    zero = jnp.abs(v) <= 1e-12
+    inv = jnp.where(zero, 1e30, 1.0 / jnp.where(zero, 1.0, v))
     t0 = (0.0 - x) * inv
     t1 = (extent - x) * inv
     tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)

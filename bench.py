@@ -88,11 +88,14 @@ def main():
     rays_per_sec = nrays * iters / dt
 
     baseline = None
-    for f in sorted(glob.glob("BENCH_r*.json")):
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             rec = json.load(open(f))
-            baseline = rec.get("value")
-            break
+            # driver-recorded rounds nest the printed JSON under "parsed"
+            baseline = rec.get("value") or rec.get("parsed", {}).get("value")
+            if baseline:
+                break
         except Exception:
             pass
     vs = rays_per_sec / baseline if baseline else 1.0

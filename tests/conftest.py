@@ -29,9 +29,12 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
-    """Default suite stays under ~5 min CPU (VERDICT r1 item 10): tests
-    marked ``slow`` (each >20 s, pure extra depth over a fast twin) skip
-    unless --runslow / -m slow is given."""
+    """Tests marked ``slow`` (each >20 s, pure extra depth over a fast twin)
+    skip unless --runslow / -m slow is given.  Measured wall time of the
+    default suite on the round-3 box: see tests/README_RUNTIME.md (a single
+    serial ``pytest tests/ -q`` takes tens of minutes on CPU; per-file
+    ``pytest -p xdist -n auto`` or per-directory runs are the practical
+    loop)."""
     if config.getoption("--runslow") or "slow" in config.getoption("-m"):
         return
     skip = pytest.mark.skip(reason="slow; use --runslow")

@@ -40,9 +40,10 @@ class TestDistributedHelpers:
 
         lo, hi, n_valid = local_ray_slice(64)
         assert (lo, hi, n_valid) == (0, 64, 64)
-        # indivisible counts pad (single process: shard == padded count)
+        # indivisible counts pad up to the 8-device shard count; the
+        # trailing pad rays are masked inactive (test_multihost.py twin)
         lo, hi, n_valid = local_ray_slice(63)
-        assert (lo, hi, n_valid) == (0, 63, 63)
+        assert (lo, hi, n_valid) == (0, 64, 63)
 
     def test_initialize_noop_single(self):
         from adjointnonlinearraytracing_tpu.parallel import initialize
