@@ -151,17 +151,26 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
     return final_eta, loss_hist, gtruth
 
 
-def reconstruction_error(eta, gtruth):
+def reconstruction_error(eta, gtruth, background=1.0):
     """Relative reconstruction error vs the GT volume, both resampled to the
-    recovered resolution (run_fuel_injection_2008.py:230-234 analog)."""
+    recovered resolution (run_fuel_injection_2008.py:230-234 analog).
+
+    ``rel_norm`` is signal-relative: ||eta - gt|| / ||gt - background||, so
+    1.0 means "as wrong as guessing the uniform background".  For the fuel
+    scene pass ``background=1+fuel_val`` (the plume's surround), matching
+    the pathmatrix baseline's convention (fuel2008.py).  ``ref_norm`` is the
+    reference's own number, norm of the elementwise relative error
+    ||(eta-gt)/gt|| (run_fuel_injection_2008.py:231-232).
+    """
     from ..fields.grid import upres_volume
 
     gt = upres_volume(gtruth, eta.shape)
     err = eta - gt
-    rel = jnp.linalg.norm(err.reshape(-1)) / jnp.linalg.norm(
-        (gt - 1.0).reshape(-1))
+    rel = jnp.linalg.norm(err.reshape(-1)) / jnp.maximum(
+        jnp.linalg.norm((gt - background).reshape(-1)), 1e-30)
     return dict(
         rel_norm=float(rel),
+        ref_norm=float(jnp.linalg.norm((err / gt).reshape(-1))),
         max_abs=float(jnp.abs(err).max()),
         l1=float(jnp.abs(err).mean()),
     )

@@ -31,13 +31,26 @@ def to_jax(arr: np.ndarray, dtype=jnp.float32):
 
 def fuel_injection_rif(fuel_val: float = 0.0003, dtype=jnp.float32):
     """The padded 65^3 refractive-index GT used by the experiment
-    (core/fuel_injection_opt.py:38-43): rescale to
-    ``n = (1 + fuel_val) - fuel_val * gtruth`` and pad to 65^3 with the
-    background value."""
+    (core/fuel_injection_opt.py:38-43): ``n = (1+fuel_val) - fuel_val*density``
+    with a normalized fuel density in [0, 1], padded to 65^3 with the
+    background value 1+fuel_val.
+
+    The shipped npy is already that rescaled RIF at fuel_val=3e-4: every
+    face/corner sits at exactly 1.0003 (the background) and the plume dips
+    toward 1.0 — precisely the output range of the reference's rescale
+    formula.  The reference applies the formula to the output of its *lost*
+    ``voxel_scenes.load_fuel_injection()`` (core/fuel_injection_opt.py:38),
+    which therefore must have returned the normalized density.  We recover
+    the density from the npy and re-apply the rescale so ``fuel_val`` stays
+    a parameter.  (Feeding the npy through the formula twice — as this
+    loader did before round 3 — collapses the plume to a ~1e-7 perturbation
+    at the f32 noise floor and makes the tomography unsolvable.)
+    """
     g = load_fuel_injection()
-    g = (-fuel_val * g) + (1.0 + fuel_val)
-    out = np.full((65, 65, 65), 1.0 + fuel_val, dtype=np.float32)
-    out[:-1, :-1, :-1] = g.astype(np.float32)
+    density = (g.max() - g) / (g.max() - g.min())  # in [0, 1], 1 = max fuel
+    n = (1.0 + fuel_val) - fuel_val * density
+    out = np.full((65, 65, 65), 1.0 + fuel_val, dtype=np.float64)
+    out[:-1, :-1, :-1] = n
     return jnp.asarray(out, dtype=dtype)
 
 
