@@ -226,6 +226,157 @@ def eval_window(W, off3, w0, h, mask=None, want_hess=False,
 
 
 # ---------------------------------------------------------------------------
+# Factorized (separable) eval/contrib — the round-3 fast path
+# ---------------------------------------------------------------------------
+#
+# eval_window builds six full (N, 125) lane patterns and runs 4-7 independent
+# 125-lane reduces, each re-reading the materialized window rows from HBM —
+# the round-2 trace attributed ~0.73 s/iter of the 128^3 bench to exactly
+# these fusions.  But the trilinear stencil is SEPARABLE: contracting the
+# window one axis at a time (z: 125->25 lanes, y: 25->5, x: 5->scalar, each a
+# 2-tap select at the axis offset) produces value, gradient, and off-diagonal
+# Hessian in ONE multi-output fusion that reads the window rows once and
+# touches ~8x fewer lanes.  The adjoint contribution row is the transpose:
+# scalars expand x->y->z through the same 2-tap vectors.  Summation order
+# differs from eval_window (nested two-term lerps vs one 125-lane reduce), so
+# results agree to f32 rounding, not bitwise; tests/test_paired.py asserts
+# both paths against fields/cells.py at ATOL.
+#
+# ANRT_WINDOW_EVAL=patterns restores the round-2 path (read at trace time).
+
+
+def eval_mode() -> str:
+    return os.environ.get("ANRT_WINDOW_EVAL", "factorized")
+
+
+def _axis5(off, w0, dtype):
+    """(N, 5) 2-tap interp / difference vectors for one axis: (1-w0) at lane
+    ``off``, w0 at ``off+1`` (and -1/+1 for the difference)."""
+    j = jnp.arange(_W, dtype=jnp.int32)[None, :]
+    o = off[:, None]
+    wi = jnp.where(j == o, 1.0 - w0[:, None], 0.0) \
+        + jnp.where(j == o + 1, w0[:, None], 0.0)
+    di = (j == o + 1).astype(dtype) - (j == o).astype(dtype)
+    return wi, di
+
+
+def _contract_ms(A, off, w0, blk):
+    """Contract the most-significant axis of an (N, 5*blk) lane block.
+
+    Selects sub-blocks ``off`` and ``off+1`` (off in [0, 3] after clamping)
+    and returns (2-tap interp (N, blk), difference (N, blk))."""
+    n = A.shape[0]
+    sel0 = jnp.zeros((n, blk), A.dtype)
+    sel1 = jnp.zeros((n, blk), A.dtype)
+    for k in range(_W - 1):
+        m = (off == k)[:, None]
+        sel0 = jnp.where(m, jax.lax.slice_in_dim(A, k * blk, (k + 1) * blk,
+                                                 axis=1), sel0)
+        sel1 = jnp.where(m, jax.lax.slice_in_dim(A, (k + 1) * blk,
+                                                 (k + 2) * blk, axis=1), sel1)
+    d = sel1 - sel0
+    return sel0 + w0[:, None] * d, d
+
+
+def eval_window_fac(W, off3, w0, h, mask=None, want_hess=False):
+    """Separable twin of eval_window (same outputs, same NaN/mask semantics,
+    f32-rounding-level differences only)."""
+    viol = None
+    if os.environ.get("ANRT_CHECK_WINDOW", "1") != "0":
+        viol = jnp.any((off3 < 0) | (off3 > _W - 2), axis=-1)
+        if mask is not None:
+            viol = viol & mask
+    off3 = jnp.clip(off3, 0, _W - 2)
+    ox, oy, oz = off3[:, 0], off3[:, 1], off3[:, 2]
+
+    Wl = W[:, :_LANES]
+    Wz, Dz = _contract_ms(Wl, oz, w0[:, 2], _W * _W)   # (N, 25)
+    Wzy, WzDy = _contract_ms(Wz, oy, w0[:, 1], _W)     # (N, 5)
+    Dzy, DzDy = _contract_ms(Dz, oy, w0[:, 1], _W)
+
+    nI, nD = _contract_ms(Wzy, ox, w0[:, 0], 1)
+    gyI, gyD = _contract_ms(WzDy, ox, w0[:, 0], 1)
+    gzI, gzD = _contract_ms(Dzy, ox, w0[:, 0], 1)
+
+    inv_h = 1.0 / h
+    n = nI[:, 0]
+    gx = nD[:, 0] * inv_h
+    gy = gyI[:, 0] * inv_h
+    gz = gzI[:, 0] * inv_h
+    grad = jnp.stack([gx, gy, gz], axis=-1)
+    if mask is not None:
+        n = jnp.where(mask, n, 0.0)
+        grad = jnp.where(mask[:, None], grad, 0.0)
+    if viol is not None:
+        n = jnp.where(viol, jnp.nan, n)
+    out = (n, grad)
+    if want_hess:
+        hyzI, _ = _contract_ms(DzDy, ox, w0[:, 0], 1)
+        inv_h2 = inv_h * inv_h
+        hxy = gyD[:, 0] * inv_h2
+        hxz = gzD[:, 0] * inv_h2
+        hyz = hyzI[:, 0] * inv_h2
+        if mask is not None:
+            hxy = jnp.where(mask, hxy, 0.0)
+            hxz = jnp.where(mask, hxz, 0.0)
+            hyz = jnp.where(mask, hyz, 0.0)
+        out = out + ((hxy, hxz, hyz),)
+    return out
+
+
+def _expand_ms(A, w5):
+    """(N, blk) x (N, 5) -> (N, 5*blk): block j scaled by lane j of w5."""
+    return (w5[:, :, None] * A[:, None, :]).reshape(A.shape[0], -1)
+
+
+def window_contrib_fac(off3, w0, val, grad, h, mask=None):
+    """Separable twin of window_contrib, built from (off3, w0) directly
+    (the six (N, 125) patterns are never materialized)."""
+    off3 = jnp.clip(off3, 0, _W - 2)
+    dt = val.dtype
+    wx5, dx5 = _axis5(off3[:, 0], w0[:, 0].astype(dt), dt)
+    wy5, dy5 = _axis5(off3[:, 1], w0[:, 1].astype(dt), dt)
+    wz5, dz5 = _axis5(off3[:, 2], w0[:, 2].astype(dt), dt)
+    inv_h = jnp.asarray(1.0 / h, dtype=dt)
+    P = val[:, None] * wx5 + (grad[:, 0] * inv_h)[:, None] * dx5
+    Q = (grad[:, 1] * inv_h)[:, None] * wx5
+    R = (grad[:, 2] * inv_h)[:, None] * wx5
+    U = _expand_ms(P, wy5) + _expand_ms(Q, dy5)        # (N, 25)
+    V = _expand_ms(R, wy5)
+    cw = _expand_ms(U, wz5) + _expand_ms(V, dz5)       # (N, 125)
+    cw = jnp.pad(cw, ((0, 0), (0, _ROW - _LANES)))
+    if mask is not None:
+        cw = jnp.where(mask[:, None], cw, 0.0)
+    return cw
+
+
+def eval_nx(W, off3, w0, h, mask=None):
+    """Forward-substep eval: (n, grad) via the trace-time-selected path."""
+    if eval_mode() == "factorized":
+        return eval_window_fac(W, off3, w0, h, mask=mask)
+    return eval_window(W, off3, w0, h, mask=mask)
+
+
+def eval_bwd(W, off3, w0, h, mask=None):
+    """Backward-substep eval: (n, grad, hess, ctx); pass ctx to contrib()."""
+    if eval_mode() == "factorized":
+        n, grad, hess = eval_window_fac(W, off3, w0, h, mask=mask,
+                                        want_hess=True)
+        return n, grad, hess, (off3, w0)
+    n, grad, hess, pat = eval_window(W, off3, w0, h, mask=mask,
+                                     want_hess=True, want_patterns=True)
+    return n, grad, hess, pat
+
+
+def contrib(ctx, val, grad, h, mask=None):
+    """Adjoint window-row contribution from eval_bwd's ctx."""
+    if eval_mode() == "factorized":
+        off3, w0 = ctx
+        return window_contrib_fac(off3, w0, val, grad, h, mask=mask)
+    return window_contrib(ctx, val, grad, h, mask=mask)
+
+
+# ---------------------------------------------------------------------------
 # Window-lane gradient accumulation (adjoint scatter target)
 # ---------------------------------------------------------------------------
 #

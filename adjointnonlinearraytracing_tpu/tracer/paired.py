@@ -42,7 +42,7 @@ def _substep_fwd(field, wf, W, a3, ci3, x, v, xt, vt, inside, esc, ds,
     else:
         _, w0 = WD.cell_index3(wf, x)
     off3 = ci3 - a3
-    n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
+    n, nx = WD.eval_nx(W, off3, w0, field.h, mask=inside)
     v2 = v + (ds * n)[:, None] * nx
     x2 = x + ds * v2
 
@@ -99,7 +99,7 @@ def trace_plane(field: G.GridField, x0, v0, pln_o, pln_d, ds, max_steps: int):
         else:
             _, w0 = WD.cell_index3(wf, x)
         off3 = ci3 - a3
-        n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
+        n, nx = WD.eval_nx(W, off3, w0, field.h, mask=inside)
         v2 = v + (ds * n)[:, None] * nx
         x2 = x + ds * v2
 
@@ -150,7 +150,7 @@ def trace_target(field: G.GridField, x0, v0, target, ds, max_steps: int):
         else:
             _, w0 = WD.cell_index3(wf, x)
         off3 = ci3 - a3
-        n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
+        n, nx = WD.eval_nx(W, off3, w0, field.h, mask=inside)
         v2 = v + (ds * n)[:, None] * nx
         x2 = x + ds * v2
 
@@ -210,7 +210,7 @@ def trace_sdf(field: G.GridField, sdf: G.GridField, x0, v0, ds,
         else:
             _, w0 = WD.cell_index3(wf, x)
         off3 = ci3 - a3
-        n, nx = WD.eval_window(W, off3, w0, field.h, mask=inside)
+        n, nx = WD.eval_nx(W, off3, w0, field.h, mask=inside)
         v2 = v + (ds * n)[:, None] * nx
         x2 = x + ds * v2
 
@@ -282,16 +282,15 @@ def backtrace(field: G.GridField, xt, vt, dx, dv, ds, max_steps: int,
         else:
             _, w0 = WD.cell_index3(wf, xe)
         off3 = ci3 - a3
-        n, nx, hess, pat = WD.eval_window(W, off3, w0, field.h, mask=emask,
-                                          want_hess=True, want_patterns=True)
+        n, nx, hess, ctx = WD.eval_bwd(W, off3, w0, field.h, mask=emask)
         v2 = v - (ds * n)[:, None] * nx
 
         active2 = active & ~G.escaped(field, xe, -v2)
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
-        cw = WD.window_contrib(pat, dn * ds, dnx * ds, field.h,
-                               mask=active2 & emask)
+        cw = WD.contrib(ctx, dn * ds, dnx * ds, field.h,
+                         mask=active2 & emask)
         if valid is not None:
             cw = jnp.where(valid, cw, 0.0)
 
@@ -353,8 +352,7 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
         else:
             _, w0 = WD.cell_index3(wf, xe)
         off3 = ci3 - a3
-        n, nx, hess, pat = WD.eval_window(W, off3, w0, field.h, mask=emask,
-                                          want_hess=True, want_patterns=True)
+        n, nx, hess, ctx = WD.eval_bwd(W, off3, w0, field.h, mask=emask)
         v2 = v - (ds * n)[:, None] * nx
 
         vals_s, w0_s, _ = CT.fetch(cf_sdf, xe, active)
@@ -367,8 +365,8 @@ def backtrace_sdf(field: G.GridField, sdf: G.GridField, xt, vt, dx, dv, ds,
 
         dn = jnp.einsum("nd,nd->n", mu, nx)
         dnx = n[:, None] * mu
-        cw = WD.window_contrib(pat, dn * ds, dnx * ds, field.h,
-                               mask=active2 & emask)
+        cw = WD.contrib(ctx, dn * ds, dnx * ds, field.h,
+                         mask=active2 & emask)
         if valid is not None:
             cw = jnp.where(valid, cw, 0.0)
 

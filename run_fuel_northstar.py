@@ -4,14 +4,28 @@ Scales the fuel-injection tomography experiment
 (/root/reference/core/fuel_injection_opt.py:38-110) to the driver's
 north-star size: the 64^3 GT volume upsampled to 129^3, a FIXED measurement
 set of 32 views x 128^2 pixels x 20 spp = 10,485,760 rays traced once
-through the GT, then a short coarse-to-fine ladder (33 -> 65 -> 129) where
-every iteration accumulates the voxel gradient over ray microbatches
+through the GT at the finest step size, then a coarse-to-fine ladder
+(9 -> 17 -> 33 -> 65 -> 129, mirroring the reference's res_list depth)
+where every iteration accumulates the voxel gradient over ray microbatches
 (10M rays in 16 chunks of 655,360 at the final stage).  Adam moments are
 trilinearly upsampled between stages and lr halves per stage, exactly as the
 production multires engine does.
 
+Round-3 changes vs the round-2 run (VERDICT.md Weak #1):
+  * the GT loader no longer double-applies the RIF rescale (voxel_scenes.py)
+    so the plume is a real 3e-4 signal instead of f32 noise;
+  * coarse stages use ds = h_stage/2 (the integrator only needs to resolve
+    the stage's own trilinear field; the final stage keeps the reference's
+    ds = h_final/step_res convention, fuel_injection_opt.py:33-34);
+  * the adjoint-vs-exact gradient spot-check runs at EVERY stage's actual
+    resolution, not just 17^3;
+  * reference-scale iteration counts (hundreds on the cheap coarse stages);
+  * reconstruction error (signal-relative rel_norm + the reference's
+    ref_norm, run_fuel_injection_2008.py:230-234) is logged every
+    NS_ERR_EVERY iterations, not only at stage ends.
+
 Artifacts (results/fuel_northstar/): metrics.jsonl (per-iteration loss,
-rays/iter, rays/s), report.json (reconstruction error vs GT), final_eta.npy.
+rays/iter, rays/s, periodic rel_norm), report.json, final_eta.npy.
 """
 
 import json
@@ -42,19 +56,34 @@ _SCALE = int(os.environ.get("NS_SCALE", "1"))  # 1 = full north star;
 # >1 divides views/bins for a quick CPU dry run of the same code path
 NVIEWS, NBINS, SPP = 32 // _SCALE, 128 // _SCALE, 20
 CHUNK = NVIEWS * NBINS * NBINS * SPP // 16  # 655,360 at full scale
-# (stage res, iterations, chunks/iteration) — full 16-chunk set at 129^3
-if _SCALE == 1:
-    STAGES = [(33, 20, 2), (65, 12, 4), (129, 8, 16)]
+# (stage res, iterations, chunks/iteration) — full 16-chunk set at 129^3.
+# NS_STAGES overrides, e.g. "33:200:2,65:100:4" for a partial run.
+if os.environ.get("NS_STAGES"):
+    STAGES = [tuple(int(v) for v in s.split(":"))
+              for s in os.environ["NS_STAGES"].split(",")]
+elif _SCALE == 1:
+    STAGES = [(9, 100, 1), (17, 100, 1), (33, 300, 2), (65, 200, 4),
+              (129, 60, 16)]
 else:
     STAGES = [(9, 3, 2), (17, 2, 16)]
-LR = 1e-4
+LR = float(os.environ.get("NS_LR", "1e-4"))
+ERR_EVERY = int(os.environ.get("NS_ERR_EVERY", "20"))
+DS_MODE = os.environ.get("NS_DS_MODE", "stage")  # stage | final
 
 os.makedirs(RESULT_DIR, exist_ok=True)
 res_final = STAGES[-1][0]
 h_fin = VOL_SPAN / (res_final - 1)
-ds = h_fin / 2
+ds_fin = h_fin / 2
+
+
+def stage_ds(res):
+    if DS_MODE == "final":
+        return ds_fin
+    return (VOL_SPAN / (res - 1)) / 2  # = ds_fin at the final stage
+
 
 gt = upres_volume(voxel_scenes.fuel_injection_rif(FUEL_VAL), (res_final,) * 3)
+BG = 1.0 + FUEL_VAL
 
 print("generating measurement rays ...", flush=True)
 rays, _rpv = S.rand_rays_in_sphere(
@@ -69,12 +98,12 @@ nrays = x_all.shape[0]
 nchunks_total = nrays // CHUNK
 assert nrays == NVIEWS * NBINS * NBINS * SPP, nrays
 
-print(f"tracing GT exits for {nrays:,} rays ...", flush=True)
+print(f"tracing GT exits for {nrays:,} rays (ds={ds_fin:.5f}) ...", flush=True)
 
 
 @jax.jit
 def gt_trace(eta, x, v, sp, sn):
-    xm, vm = tracer.trace(eta, x, v, h_fin, ds)
+    xm, vm = tracer.trace(eta, x, v, h_fin, ds_fin)
     return sensors.trace_rays_to_plane((xm, vm), (sp, sn))
 
 
@@ -89,15 +118,11 @@ xgt = np.concatenate(xg_chunks)
 vgt = np.concatenate(vg_chunks)
 print(f"GT trace: {time.perf_counter() - t0:.1f}s", flush=True)
 
-rel0 = common.gradient_spotcheck(
-    jnp.ones((17,) * 3) + FUEL_VAL, jnp.asarray(x_all[:2048]),
-    jnp.asarray(v_all[:2048]), VOL_SPAN, ds, mask=jnp.asarray(mask_all[:2048]))
-print(f"grad spotcheck (adjoint vs exact, 17^3): {rel0:.2e}", flush=True)
-
 metrics = open(f"{RESULT_DIR}/metrics.jsonl", "a")
+spotchecks = {}
 
 
-def make_chunk_grad(res):
+def make_chunk_grad(res, ds):
     h = VOL_SPAN / (res - 1)
 
     def chunk_loss(eta, x, v, sp, sn, xg, vg, m):
@@ -117,8 +142,25 @@ stage_lr = LR
 it_total = 0
 
 for stage, (res, iters, cpi) in enumerate(STAGES):
-    grad_fn = make_chunk_grad(res)
+    ds = stage_ds(res)
+    grad_fn = make_chunk_grad(res, ds)
     bmask = boundary_interior_mask(eta.shape)
+
+    # adjoint-vs-checkpointed-exact gradient drift at THIS stage's
+    # resolution and step size (VERDICT round 2, Weak #1b)
+    # perturbation amplitude 10x the fuel signal (3e-3): representative of
+    # the strongest transient field this optimization can visit, instead of
+    # the default 5% bump (~170x the signal) whose much stronger ray bending
+    # dominates the drift measurement
+    rel = common.gradient_spotcheck(
+        eta, jnp.asarray(x_all[:2048]), jnp.asarray(v_all[:2048]),
+        VOL_SPAN, ds, mask=jnp.asarray(mask_all[:2048]),
+        perturb_amp=10 * FUEL_VAL)
+    spotchecks[str(res)] = rel
+    print(f"stage {res}^3 grad spotcheck (adjoint vs exact): {rel:.2e}",
+          flush=True)
+    metrics.write(json.dumps(dict(stage_start=res, ds=ds,
+                                  grad_spotcheck=rel)) + "\n")
 
     @jax.jit
     def apply(eta, opt_state, g):
@@ -144,15 +186,19 @@ for stage, (res, iters, cpi) in enumerate(STAGES):
         rec = dict(iter=it_total, res=res, loss=loss / cpi,
                    rays=cpi * CHUNK, secs=round(dt, 2),
                    rays_per_s=round(cpi * CHUNK / dt, 1))
+        if i % ERR_EVERY == ERR_EVERY - 1 or i == iters - 1:
+            rec.update(fuel_injection.reconstruction_error(
+                eta, gt, background=BG))
         metrics.write(json.dumps(rec) + "\n")
         metrics.flush()
         print(rec, flush=True)
         it_total += 1
 
-    err = fuel_injection.reconstruction_error(eta, gt)
+    err = fuel_injection.reconstruction_error(eta, gt, background=BG)
     print(f"stage {res}^3 reconstruction: {err}", flush=True)
     metrics.write(json.dumps(dict(stage=res, **err)) + "\n")
     metrics.flush()
+    np.save(f"{RESULT_DIR}/eta_{res}.npy", np.asarray(eta))
 
     if stage < len(STAGES) - 1:
         new_res = STAGES[stage + 1][0]
@@ -165,11 +211,12 @@ for stage, (res, iters, cpi) in enumerate(STAGES):
             upres_adam_state(adam_old, new_res) if j == i_old else sj
             for j, sj in enumerate(fresh))
 
-err = fuel_injection.reconstruction_error(eta, gt)
+err = fuel_injection.reconstruction_error(eta, gt, background=BG)
 report = dict(
-    grid=f"{res_final}^3", rays_per_iter=16 * CHUNK,
+    grid=f"{res_final}^3", rays_per_iter=STAGES[-1][2] * CHUNK,
     final_loss=float(loss / cpi), reconstruction=err,
-    grad_spotcheck=rel0,
+    grad_spotcheck_per_stage=spotchecks,
+    stages=[list(s) for s in STAGES], lr=LR, ds_mode=DS_MODE,
 )
 with open(f"{RESULT_DIR}/report.json", "w") as f:
     json.dump(report, f, indent=2)
