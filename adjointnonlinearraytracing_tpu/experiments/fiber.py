@@ -52,6 +52,11 @@ def default_params() -> Dict:
         sensor_distance=1.57,
         hop_weight=0.1,
         plane_epsilon=0.001,
+        # the reference YAML's default section sets projected_step: True
+        # (params-fiber.yaml:34) and the hop2opt override inherits it —
+        # without the n >= 1 projection the profile dips below 1 on long
+        # stages and the entry normalization v /= n_bound diverges
+        projected_step=True,
         autodiff=False,
         seed=0,
     )
