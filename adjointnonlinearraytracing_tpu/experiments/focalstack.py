@@ -155,10 +155,16 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
             angle_s, src_angle, dtype)
         common.gradient_spotcheck(n0, rays.x, rays.v, vol_span, ds,
                                   mask=rays.mask, metrics=metrics)
+    rays_per_iter = nbins * nbins * spp
+
+    def stat_fn(it, loss, secs):
+        metrics.log(it, loss=loss, secs=round(secs, 3), rays=rays_per_iter,
+                    rays_per_s=round(rays_per_iter / max(secs, 1e-9), 1))
+
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
         statename=f"{result_dir}/result" if result_dir else None,
-        key=jax.random.PRNGKey(seed))
+        key=jax.random.PRNGKey(seed), stat_fn=stat_fn)
 
     if result_dir is not None:
         from ..utils.plotting import save_loss_plot

@@ -23,6 +23,7 @@ handed to the loss each iteration.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -92,6 +93,7 @@ def multires_opt(
     save_fn: Optional[Callable] = None,
     resume_from: Optional[str] = None,
     ckpt_backend: str = "npz",
+    stat_fn: Optional[Callable[[int, float, float], None]] = None,
 ) -> Tuple[jax.Array, List[float]]:
     """Run the multi-resolution Adam loop (optimizer.py:44-84).
 
@@ -146,8 +148,12 @@ def multires_opt(
             key, sub = jax.random.split(key)
             if log_fn is not None:
                 log_fn(iteration_count, n)
+            t0 = time.perf_counter()
             n, opt_state, loss = step(n, opt_state, sub)
-            loss_hist.append(float(loss))
+            loss_f = float(loss)  # blocks: the step's true device time
+            if stat_fn is not None:
+                stat_fn(iteration_count, loss_f, time.perf_counter() - t0)
+            loss_hist.append(loss_f)
             iteration_count += 1
 
         if statename is not None:
