@@ -135,7 +135,15 @@ def make_chunk_grad(res, ds):
     return jax.jit(jax.value_and_grad(chunk_loss))
 
 
-eta = jnp.ones((STAGES[0][0],) * 3, dtype=jnp.float32) + FUEL_VAL
+if os.environ.get("NS_INIT"):
+    # resume/finish: start the FIRST configured stage from a saved eta
+    # (upres'd if needed) instead of the flat background; pair with
+    # NS_STAGES and NS_LR to run e.g. a trimmed final stage standalone
+    eta = jnp.asarray(np.load(os.environ["NS_INIT"]), dtype=jnp.float32)
+    if eta.shape[0] != STAGES[0][0]:
+        eta = upres_scene(eta, STAGES[0][0])
+else:
+    eta = jnp.ones((STAGES[0][0],) * 3, dtype=jnp.float32) + FUEL_VAL
 opt = optax.adam(LR)
 opt_state = opt.init(eta)
 stage_lr = LR
