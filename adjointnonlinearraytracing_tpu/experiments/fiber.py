@@ -127,7 +127,15 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
             / nrays / cable_radius
         return jnp.sum(loss_vec) / camera_span, (xm, vm)
 
-    n = jnp.ones(res_list[0], dtype=dtype) + init_offset
+    if params.get("init_profile") is not None:
+        # refinement phases / resume: start from a saved profile (must match
+        # res_list[0] bins) — the reference's init_scene workflow
+        # (params-fiber.yaml:39-55 commented sections: an lr-1e-2 run's
+        # checkpoint refined at much smaller lr)
+        n = jnp.asarray(params["init_profile"], dtype=dtype)
+        assert n.shape[0] == res_list[0], (n.shape, res_list)
+    else:
+        n = jnp.ones(res_list[0], dtype=dtype) + init_offset
     key = jax.random.PRNGKey(seed)
     loss_hist = []
     cum_steps = 0
