@@ -96,6 +96,26 @@ class TestFiber:
         d_end = float(jnp.abs(n - gt).mean())
         assert d_end < d_start
 
+    def test_init_profile_refinement(self):
+        """init_profile starts the run from a saved profile (the reference's
+        init_scene refinement workflow, params-fiber.yaml:39-55)."""
+        start = jnp.linspace(1.35, 1.0, 9)
+        params = dict(res_list=[9], init_profile=start, cable_length=5.0,
+                      cable_radius=1.0, camera_span=0.1,
+                      sensor_distance=1.57, hop_distance=3.14, nbins=6,
+                      spp=1, optim_iters=2, record_iters=1000, lr=1e-4,
+                      seed=0, grad_spotcheck=False)
+        n, _ = fiber.multires_exp(params)
+        # tiny lr, 2 iters: must stay near the provided init, not the flat 1s
+        assert float(jnp.abs(n - start).max()) < 0.01
+        assert float(jnp.abs(n - jnp.ones(9)).max()) > 0.1
+
+    def test_default_params_projection(self):
+        """projected_step inherits True from the reference YAML default
+        section (params-fiber.yaml:34) — regression for the divergence on
+        long stages."""
+        assert fiber.default_params()["projected_step"] is True
+
 
 class TestFocalStack:
     def test_loss_decreases(self):
@@ -202,6 +222,19 @@ class TestCheckpoint:
         n2, opt2, state2, hist, key = load_checkpoint(path, 1e-3)
         np.testing.assert_allclose(n2, n)
         assert hist == [1.0, 0.5]
+
+    def test_stat_fn_receives_every_step(self):
+        from adjointnonlinearraytracing_tpu.opt import multires_opt
+
+        seen = []
+        n, hist = multires_opt(
+            lambda n, key: jnp.sum((n - 2.0) ** 2), jnp.ones((3, 3, 3)),
+            iterations=2, res_list=[3, 5], lr=1e-2,
+            stat_fn=lambda it, loss, secs: seen.append((it, loss, secs)))
+        assert len(seen) == len(hist) == 2 * 1 + 2 * 2
+        assert [s[0] for s in seen] == list(range(6))
+        np.testing.assert_allclose([s[1] for s in seen], hist)
+        assert all(s[2] >= 0 for s in seen)
 
     def test_orbax_backend_roundtrip(self, tmp_path):
         import optax
