@@ -30,8 +30,13 @@ from adjointnonlinearraytracing_tpu.experiments import fiber
 RESULT_DIR = os.environ.get("FIBER_DIR", "results/fiber_129")
 ITERS = int(os.environ.get("FIBER_ITERS", "100"))
 SPP = int(os.environ.get("FIBER_SPP", "2"))
-# (lr, iters, spp) refinement ladder at the final bin count
+# (lr, iters, spp) refinement ladder at the final bin count; overridable
+# as FIBER_REFINE="2e-3:600:2,5e-4:600:4,1e-4:800:4" for time-boxed runs
 REFINE = [(2e-3, 600, 2), (5e-4, 600, 4), (1e-4, 800, 4)]
+if os.environ.get("FIBER_REFINE"):
+    REFINE = [(float(a), int(b), int(c))
+              for a, b, c in (s.split(":")
+                              for s in os.environ["FIBER_REFINE"].split(","))]
 
 os.makedirs(RESULT_DIR, exist_ok=True)
 report = {"phases": []}

@@ -53,24 +53,38 @@ def target_correlation(eta, resolution=128, spp=32, seed=1234):
     return corr
 
 
+def write_report(eta, hist):
+    corr = target_correlation(eta)
+    report = {"first_loss": float(hist[0]), "last_loss": float(hist[-1]),
+              "n_iters": len(hist), "stage_res": int(eta.shape[0]),
+              "corr_einstein": corr[0], "corr_turing": corr[1]}
+    with open(f"{RESULT_DIR}/report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
 if __name__ == "__main__":
     from adjointnonlinearraytracing_tpu.experiments import image
 
+    if "--report-only" in sys.argv:
+        # Score the latest checkpoint (e.g. after a wall-clock-bounded run
+        # was cut mid-ladder) without re-running the optimization.
+        from adjointnonlinearraytracing_tpu.opt import load_checkpoint
+        eta, _, _, hist, _ = load_checkpoint(f"{RESULT_DIR}/result.npz", 1e-4)
+        write_report(eta, hist)
+        sys.exit(0)
+
+    res_list = [int(r) for r in
+                os.environ.get("IMG_RES_LIST", "3,5,9,17,33,65,129").split(",")]
     resume = "--resume" in sys.argv and os.path.exists(
         f"{RESULT_DIR}/result.npz")
     eta, hist = image.run_multiview_exp(
         result_dir=RESULT_DIR,
         resolution=128,
-        optim_iters=50,
-        res_list=[3, 5, 9, 17, 33, 65, 129],
+        optim_iters=int(os.environ.get("IMG_ITERS", "50")),
+        res_list=res_list,
         vol_span=20, step_res=2, spp=8, lr=1e-4, seed=0,
-        record_iters=50,
+        record_iters=int(os.environ.get("IMG_RECORD", "50")),
         resume_from=f"{RESULT_DIR}/result.npz" if resume else None,
     )
-    corr = target_correlation(eta)
-    report = {"first_loss": float(hist[0]), "last_loss": float(hist[-1]),
-              "n_iters": len(hist),
-              "corr_einstein": corr[0], "corr_turing": corr[1]}
-    with open(f"{RESULT_DIR}/report.json", "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(report))
+    write_report(eta, hist)
