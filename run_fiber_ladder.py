@@ -42,21 +42,39 @@ os.makedirs(RESULT_DIR, exist_ok=True)
 report = {"phases": []}
 
 
+def flush_phase():
+    """Incremental report + profile dump so a time-boxed run keeps its
+    completed phases."""
+    with open(f"{RESULT_DIR}/report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report["phases"][-1]), flush=True)
+
+
 def l1_to_gt(n):
     gt = fiber.ground_truth(int(n.shape[0]), dtype=n.dtype)
     return float(jnp.mean(jnp.abs(n - gt)))
 
 
-params = fiber.default_params()
-params.update(optim_iters=ITERS, record_iters=10 ** 9, spp=SPP)
-n, hist = fiber.multires_exp(params, result_dir=RESULT_DIR)
-report["phases"].append(dict(phase="ladder", optim_iters=ITERS, spp=SPP,
-                             l1_vs_gt=l1_to_gt(n),
-                             first_loss=float(hist[0]),
-                             last_loss=float(hist[-1])))
-print(json.dumps(report["phases"][-1]), flush=True)
+if os.environ.get("FIBER_INIT"):
+    # refinement-only: skip the ladder and anneal from a saved profile
+    # (e.g. a previous run's plateau — the reference's init_scene workflow,
+    # params-fiber.yaml:39-55)
+    n = jnp.asarray(np.load(os.environ["FIBER_INIT"]))
+    report["phases"].append(dict(phase="init", init=os.environ["FIBER_INIT"],
+                                 l1_vs_gt=l1_to_gt(n)))
+    flush_phase()
+else:
+    params = fiber.default_params()
+    params.update(optim_iters=ITERS, record_iters=10 ** 9, spp=SPP)
+    n, hist = fiber.multires_exp(params, result_dir=RESULT_DIR)
+    report["phases"].append(dict(phase="ladder", optim_iters=ITERS, spp=SPP,
+                                 l1_vs_gt=l1_to_gt(n),
+                                 first_loss=float(hist[0]),
+                                 last_loss=float(hist[-1])))
+    flush_phase()
 
 for i, (lr, iters, spp) in enumerate(REFINE):
+    p_name = f"refine{i}"
     p = fiber.default_params()
     p.update(res_list=[int(n.shape[0])], init_profile=n, lr=lr,
              optim_iters=iters, spp=spp, record_iters=10 ** 9,
@@ -65,7 +83,8 @@ for i, (lr, iters, spp) in enumerate(REFINE):
     report["phases"].append(dict(phase=f"refine{i}", lr=lr, iters=iters,
                                  spp=spp, l1_vs_gt=l1_to_gt(n),
                                  last_loss=float(hist[-1])))
-    print(json.dumps(report["phases"][-1]), flush=True)
+    np.save(f"{RESULT_DIR}/profile_{p_name}.npy", np.asarray(n))
+    flush_phase()
 
 report.update(bins=int(n.shape[0]), l1_vs_gt=report["phases"][-1]["l1_vs_gt"])
 np.save(f"{RESULT_DIR}/final_profile.npy", np.asarray(n))
