@@ -204,6 +204,26 @@ hop2opt-lr1e-2-uniinit:
         assert p["lr"] == 0.01
         assert p["autodiff"] is False
 
+    def test_runner_lkfs_synthetic_source_image(self, tmp_path):
+        """The shipped focal-stack YAML's documented command runs end-to-end.
+
+        Regression for the ADVICE r2 finding: the lkfs* sections carry
+        ``source_image: true`` (use the in-focus capture as the emission
+        image); with the captures absent the synthetic branch must replace
+        the bool with a real image, not let ``True`` flow into
+        ``get_sdf_vals_near`` (AttributeError on ``True.shape``).
+        """
+        from adjointnonlinearraytracing_tpu.experiments import runner
+
+        runner.main([
+            "configs/params-focalstack.yaml",
+            "lkfs10_3im_srciminfocus_cone1_dist2",
+            "--result-dir", str(tmp_path / "fs"),
+            "--set", "res_list=[3, 5]", "--set", "optim_iters=1",
+            "--set", "nbins=8", "--set", "spp=1",
+        ])
+        assert (tmp_path / "fs" / "metrics.jsonl").exists()
+
 
 class TestCheckpoint:
     def test_save_load_roundtrip(self, tmp_path):
