@@ -15,6 +15,7 @@ multires Adam loop.  Differences by design:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -23,6 +24,7 @@ import numpy as np
 
 from .. import tracer
 from ..parallel import mesh as pmesh
+from ..tracer import compaction
 
 
 def masked_mean_sq(diff, mask):
@@ -63,6 +65,12 @@ def make_trace(vol_span, ds, autodiff=False, use_mesh=False, res=None,
             return tracer.trace_ad(nt, x, v, h, ds)
         if gradient == "exact":
             return tracer.trace_exact(nt, x, v, h, ds, seg)
+        nbuckets = int(os.environ.get("ANRT_BUCKETED", "0"))
+        if nbuckets > 1 and the_mesh is None:
+            # exit-step compaction (tracer/compaction.py): same outputs and
+            # gradients, +49% measured on spread-chord rig scenes, no gain on
+            # uniform-chord ones — opt-in per run (pallas/README.md table)
+            return compaction.trace_bucketed(nt, x, v, h, ds, nbuckets)
         if the_mesh is not None:
             key = (nt.shape[0], float(h))
             if key not in cache:

@@ -76,6 +76,31 @@ class TestBucketedExactness:
         xt1, vt1 = compaction.trace_bucketed(rif, x, v, h, ds, nbuckets=4)
         np.testing.assert_allclose(xt1, xt0, atol=0)
 
+    def test_driver_flag_wires_bucketing(self, monkeypatch):
+        # experiments/common.make_trace honors ANRT_BUCKETED=<k> (opt-in
+        # compaction for rig-style sources) with identical outputs/gradients
+        from adjointnonlinearraytracing_tpu.experiments import common
+        rif, x, v, h = _spread_case()
+        span = (rif.shape[0] - 1) * h
+        ds = h / 2
+        monkeypatch.setenv("ANRT_BUCKETED", "4")
+        tr = common.make_trace(span, ds)
+
+        def loss(r):
+            xt, vt = tr(r, x, v)
+            return jnp.sum(xt ** 2) + jnp.sum(xt * vt)
+
+        g1 = jax.grad(loss)(rif)
+        monkeypatch.delenv("ANRT_BUCKETED")
+        xt0, vt0 = tracer.trace(rif, x, v, h, ds)
+        xt1, vt1 = tr(rif, x, v)
+        np.testing.assert_allclose(xt1, xt0, atol=0)
+        np.testing.assert_allclose(vt1, vt0, atol=0)
+        g0 = jax.grad(lambda r: jnp.sum(tracer.trace(r, x, v, h, ds)[0] ** 2)
+                      + jnp.sum(tracer.trace(r, x, v, h, ds)[0]
+                                * tracer.trace(r, x, v, h, ds)[1]))(rif)
+        np.testing.assert_allclose(g1, g0, rtol=1e-12, atol=1e-14)
+
     def test_jits(self):
         rif, x, v, h = _spread_case()
         ds = h / 2
