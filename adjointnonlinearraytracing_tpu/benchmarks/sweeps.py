@@ -2,7 +2,7 @@
 
 Twin of the reference benchmark binary (src/test.cpp): `profile_stepsize`
 sweeps ds in {0.3..1.2} on a 33^3 grid with 512^2 rays, `profile_resolution`
-sweeps res in {3,5,9,17,33,65,129} with 256^2 rays at ds=0.5
+sweeps res in {3,5,9,17,33,65,129,257} with 256^2 rays at ds=0.5
 (test.cpp:148-318), timing forward+backward for both differentiation paths
 and recording device memory when the backend exposes it.
 
@@ -109,14 +109,21 @@ def profile_stepsize(nrays=None, res=33, iters=2, include_ad=True):
 
 
 def profile_resolution(nrays=None, iters=2, include_ad=False,
-                       res_list=(9, 17, 33, 65, 129)):
-    """Resolution sweep at ds = h/2 (test.cpp:241-318)."""
+                       res_list=None):
+    """Resolution sweep at ds = h/2 (test.cpp:241-318).
+
+    The default accelerator list matches the reference's largest point,
+    257^3 (test.cpp:255); on CPU the sweep stops at 65 (257^3 takes hours
+    there).  Executed on-chip evidence: results/sweep_resolution_257.jsonl.
+    """
     import jax
     import jax.numpy as jnp
 
     from .. import tracer
 
     on_cpu = jax.default_backend() == "cpu"
+    if res_list is None:
+        res_list = (9, 17, 33, 65) if on_cpu else (9, 17, 33, 65, 129, 257)
     if nrays is None:
         nrays = 1 << 12 if on_cpu else 1 << 16
 
