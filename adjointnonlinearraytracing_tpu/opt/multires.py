@@ -23,6 +23,7 @@ handed to the loss each iteration.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -144,6 +145,11 @@ def multires_opt(
                 n = jnp.maximum(n, clamp_min)
             return n, opt_state, loss
 
+        # time-based mid-stage checkpointing: wall-clock-bounded runs (the
+        # chip queue kills with `timeout`) keep their partial stage instead
+        # of losing everything since the last stage boundary
+        last_save = time.perf_counter()
+        save_every = float(os.environ.get("ANRT_CKPT_SECS", "180"))
         for _ in range(iterations * (res_iter + 1)):
             key, sub = jax.random.split(key)
             if log_fn is not None:
@@ -155,6 +161,11 @@ def multires_opt(
                 stat_fn(iteration_count, loss_f, time.perf_counter() - t0)
             loss_hist.append(loss_f)
             iteration_count += 1
+            if (statename is not None and save_every > 0
+                    and time.perf_counter() - last_save > save_every):
+                save_checkpoint(statename, n, opt_state, loss_hist, key,
+                                backend=ckpt_backend)
+                last_save = time.perf_counter()
 
         if statename is not None:
             save_checkpoint(statename, n, opt_state, loss_hist, key,

@@ -256,6 +256,29 @@ class TestCheckpoint:
         np.testing.assert_allclose([s[1] for s in seen], hist)
         assert all(s[2] >= 0 for s in seen)
 
+    def test_midstage_checkpoint_cadence(self, tmp_path, monkeypatch):
+        # wall-clock-bounded runs (chip queue `timeout`) keep partial-stage
+        # progress: with ANRT_CKPT_SECS=0.0001 every iteration checkpoints,
+        # so the saved history can end mid-stage, and resume continues from
+        # it rather than the last stage boundary
+        from adjointnonlinearraytracing_tpu.opt import (
+            load_checkpoint, multires_opt)
+
+        monkeypatch.setenv("ANRT_CKPT_SECS", "0.0001")
+        path = str(tmp_path / "ckpt")
+        n, hist = multires_opt(
+            lambda n, key: jnp.sum((n - 2.0) ** 2), jnp.ones((3, 3, 3)),
+            iterations=3, res_list=[3, 5], lr=1e-2, statename=path)
+        monkeypatch.delenv("ANRT_CKPT_SECS")
+        n2, _, _, hist2, _ = load_checkpoint(path, 1e-2)
+        assert list(hist2) == list(hist)  # saved through the last iteration
+        np.testing.assert_allclose(n2, n)
+        n3, hist3 = multires_opt(
+            lambda n, key: jnp.sum((n - 2.0) ** 2), jnp.ones((3, 3, 3)),
+            iterations=3, res_list=[3, 5], lr=1e-2, resume_from=path)
+        assert len(hist3) > len(hist)  # continued, not restarted
+        assert float(hist3[-1]) <= float(hist[-1]) + 1e-6
+
     def test_orbax_backend_roundtrip(self, tmp_path):
         import optax
         from adjointnonlinearraytracing_tpu.opt import (
