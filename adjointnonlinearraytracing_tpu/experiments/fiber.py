@@ -87,7 +87,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
     dtype = params.get("dtype", jnp.float32)
 
     metrics = MetricsLogger(
-        f"{result_dir}/metrics.jsonl" if result_dir else None)
+        f"{result_dir}/metrics.jsonl" if result_dir else None,
+        append=params.get("resume_from") is not None)
 
     def gen_start_rays(key):
         sdx = sensor_dist - cable_radius * 2

@@ -60,10 +60,16 @@ def run_opt(params: Dict, result_dir: Optional[str] = None):
 
     h = vol_span / max(res_list[-1] - 1, 1)
     ds = h / step_res
+    # project onto the paired-path precondition n <= h/ds (tracer/api._impl):
+    # finest-stage bound; physical peak index is sqrt(2) so this never binds
+    # on a healthy run (VERDICT r3 weak #4)
+    clamp_max = params.get("clamp_max",
+                           float(step_res) if step_res >= 2 else None)
     span = vol_span
 
     metrics = MetricsLogger(
-        f"{result_dir}/metrics.jsonl" if result_dir else None)
+        f"{result_dir}/metrics.jsonl" if result_dir else None,
+        append=params.get("resume_from") is not None)
 
     def gen_start_rays(key, samples):
         views = []
@@ -120,7 +126,9 @@ def run_opt(params: Dict, result_dir: Optional[str] = None):
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
         statename=f"{result_dir}/result" if result_dir else None,
-        key=jax.random.PRNGKey(seed))
+        key=jax.random.PRNGKey(seed),
+        clamp_max=clamp_max,
+        resume_from=params.get("resume_from"))
 
     if result_dir is not None:
         from ..utils.plotting import save_loss_plot

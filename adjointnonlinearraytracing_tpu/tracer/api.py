@@ -50,6 +50,17 @@ def _check_rif(rif, name="trace"):
             f"{name}: rif must be a 3D voxel grid, got shape {rif.shape}")
 
 
+def _check_per_ray3(arr, x, label, name):
+    """A per-ray 3-vector input: (N, 3) matching x, or broadcastable (1, 3)/(3,)."""
+    if arr.shape[-1] != 3 or arr.ndim > 2:
+        raise ValueError(
+            f"{name}: {label} must be (N, 3) or (3,), got {arr.shape}")
+    if arr.ndim == 2 and arr.shape[0] not in (1, x.shape[0]):
+        raise ValueError(
+            f"{name}: {label} has {arr.shape[0]} rows but x has "
+            f"{x.shape[0]} rays")
+
+
 def _grid(rif, h):
     return GridField(rif, h)
 
@@ -141,6 +152,9 @@ def trace_plane(rif, x, v, pln_o, pln_d, h, ds):
     ``miss`` marks rays that never exited; their position cotangent is zeroed
     in the backward pass (core/tracer.py:366-371).
     """
+    _check_rif(rif, "trace_plane"); _check_rays(x, v, "trace_plane")
+    _check_per_ray3(pln_o, x, "pln_o", "trace_plane")
+    _check_per_ray3(pln_d, x, "pln_d", "trace_plane")
     return _impl(rif, h, ds).trace_plane(_grid(rif, h), x, v, pln_o, pln_d,
                                          ds, _steps_fwd(rif, h, ds))
 
@@ -174,6 +188,8 @@ trace_plane.defvjp(_trace_plane_fwd, _trace_plane_bwd)
 def trace_target(rif, x, v, target, h, ds):
     """Trace recording closest approach to per-ray targets; returns
     (xt, vt, dist2).  dist2 carries no gradient (core/tracer.py:415-432)."""
+    _check_rif(rif, "trace_target"); _check_rays(x, v, "trace_target")
+    _check_per_ray3(target, x, "target", "trace_target")
     return _impl(rif, h, ds).trace_target(_grid(rif, h), x, v, target, ds,
                                           _steps_fwd(rif, h, ds))
 
@@ -207,6 +223,10 @@ def trace_sdf(rif, sdf, x, v, h, ds):
 
     Only rif receives a gradient; the sdf grid cotangent is zero
     (core/tracer.py:461-479)."""
+    _check_rif(rif, "trace_sdf"); _check_rays(x, v, "trace_sdf")
+    if sdf.shape != rif.shape:
+        raise ValueError(
+            f"trace_sdf: sdf grid {sdf.shape} must match rif {rif.shape}")
     steps = int(2.0 * h * max(rif.shape) / ds)  # tracer.cpp:262
     return _impl(rif, h, ds).trace_sdf(_grid(rif, h), _grid(sdf, h), x, v,
                                        ds, steps)
@@ -239,6 +259,11 @@ trace_sdf.defvjp(_trace_sdf_fwd, _trace_sdf_bwd)
 def trace_cable(rif, radius, length, x, v, target, ds):
     """Cylinder-volume trace; rif is the 1D radial profile.  Returns
     (xt, vt, dist2) (core/tracer.py:482-527)."""
+    if rif.ndim != 1:
+        raise ValueError(
+            f"trace_cable: rif must be a 1D radial profile, got {rif.shape}")
+    _check_rays(x, v, "trace_cable")
+    _check_per_ray3(target, x, "target", "trace_cable")
     steps = int(4.0 * length / ds)  # tracer.cpp:332
     return E.trace_cable(CylinderField(rif, radius, length), x, v, target,
                          ds, steps)

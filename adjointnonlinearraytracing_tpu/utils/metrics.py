@@ -14,15 +14,17 @@ from typing import Any, Dict, List, Optional
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, append: bool = False):
+        """``append=True`` keeps an existing file's rows (resumed runs must
+        not truncate the committed loss history — ADVICE r3)."""
         self.path = path
         self.history: List[Dict[str, Any]] = []
         if path:
             d = os.path.dirname(path)
             if d:
                 os.makedirs(d, exist_ok=True)
-            # truncate
-            open(path, "w").close()
+            if not append:
+                open(path, "w").close()
 
     def log(self, step: int, **values):
         rec = {"step": step, "time": time.time(), **{

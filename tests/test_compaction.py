@@ -91,9 +91,11 @@ class TestBucketedExactness:
             return jnp.sum(xt ** 2) + jnp.sum(xt * vt)
 
         g1 = jax.grad(loss)(rif)
+        # forward outputs must be computed while the flag is set: make_trace
+        # reads ANRT_BUCKETED at call time (ADVICE r3)
+        xt1, vt1 = tr(rif, x, v)
         monkeypatch.delenv("ANRT_BUCKETED")
         xt0, vt0 = tracer.trace(rif, x, v, h, ds)
-        xt1, vt1 = tr(rif, x, v)
         np.testing.assert_allclose(xt1, xt0, atol=0)
         np.testing.assert_allclose(vt1, vt0, atol=0)
         g0 = jax.grad(lambda r: jnp.sum(tracer.trace(r, x, v, h, ds)[0] ** 2)
