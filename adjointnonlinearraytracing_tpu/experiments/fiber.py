@@ -143,8 +143,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
 
     if params.get("grad_spotcheck", True) and not autodiff:
         # cable adjoint vs plain autodiff through the scan, on real rays
-        # (VERDICT r1 item 9; there is no checkpointed cable variant, the
-        # tape is exact at these step counts)
+        # (VERDICT r1 item 9; trace_cable_exact is the memory-lean exact
+        # fallback at scale — the tape is equally exact at these step counts)
         rays0 = gen_start_rays(jax.random.PRNGKey(seed + 777))
         npk = 512
         xs, vs = rays0.x[:npk], rays0.v[:npk]

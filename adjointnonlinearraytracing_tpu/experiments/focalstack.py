@@ -83,11 +83,6 @@ def make_synthetic_stack(scene, params) -> List[jax.Array]:
     dtype = p.get("dtype", jnp.float32)
     h = vol_span / max(res_list[-1] - 1, 1)
     ds = h / step_res
-    # project onto the paired-path precondition n <= h/ds (tracer/api._impl):
-    # finest-stage bound; physical peak index is sqrt(2) so this never binds
-    # on a healthy run (VERDICT r3 weak #4)
-    clamp_max = params.get("clamp_max",
-                           float(step_res) if step_res >= 2 else None)
     trace = common.make_trace(vol_span, ds)
     rays, _, _ = _gen_start_rays(
         jax.random.PRNGKey(p.get("seed", 0) + 77), p.get("source_type", "cone"),
@@ -121,14 +116,20 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
 
     h = vol_span / max(res_list[-1] - 1, 1)
     ds = h / step_res
+    # project onto the paired-path precondition n <= h/ds (tracer/api._impl):
+    # finest-stage bound; physical peak index is sqrt(2) so this never binds
+    # on a healthy run (VERDICT r3 weak #4)
+    clamp_max = params.get("clamp_max",
+                           float(step_res) if step_res >= 2 else None)
     span = vol_span
     measurements = jnp.stack(meas_focal)
 
     metrics = MetricsLogger(
         f"{result_dir}/metrics.jsonl" if result_dir else None,
         append=params.get("resume_from") is not None)
+    grad_holder = {"mode": params.get("gradient")}
     trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
-                              gradient=params.get("gradient"))
+                              gradient=grad_holder)
 
     def loss_function(eta, key):
         rays, _, _ = _gen_start_rays(key, src_type, nbins, spp, span, angle_s,
@@ -167,8 +168,19 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
         metrics.log(it, loss=loss, secs=round(secs, 3), rays=rays_per_iter,
                     rays_per_s=round(rays_per_iter / max(secs, 1e-9), 1))
 
+    stage_fn = None
+    if (params.get("auto_exact", True) and not autodiff
+            and params.get("gradient") is None):
+        def _probe_rays():
+            r, _, _ = _gen_start_rays(
+                jax.random.PRNGKey(seed + 778), src_type, nbins, 1, span,
+                angle_s, src_angle, dtype)
+            return r.x, r.v, r.mask
+        stage_fn = common.make_stage_escalator(
+            grad_holder, vol_span, ds, _probe_rays, metrics)
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
+        stage_fn=stage_fn,
         statename=f"{result_dir}/result" if result_dir else None,
         key=jax.random.PRNGKey(seed), stat_fn=stat_fn,
         clamp_max=clamp_max,

@@ -100,8 +100,9 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
                       rays.planes.astype(dtype), rays.mask)
         return rays, rpv
 
+    grad_holder = {"mode": params.get("gradient")}
     trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
-                              gradient=params.get("gradient"))
+                              gradient=grad_holder)
 
     # measurement rays are FIXED across the optimization (fuel_injection_opt
     # traces the GT once, :85-86).  Materialize them to host numpy so the
@@ -146,8 +147,17 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
                                   jnp.asarray(rays.v), vol_span, ds,
                                   mask=jnp.asarray(rays.mask),
                                   metrics=metrics)
+    stage_fn = None
+    if (params.get("auto_exact", True) and not autodiff
+            and params.get("gradient") is None):
+        def _probe_rays():
+            return (jnp.asarray(rays.x), jnp.asarray(rays.v),
+                    jnp.asarray(rays.mask))
+        stage_fn = common.make_stage_escalator(
+            grad_holder, vol_span, ds, _probe_rays, metrics)
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
+        stage_fn=stage_fn,
         statename=f"{result_dir}/result" if result_dir else None,
         key=jax.random.PRNGKey(seed + 1),
         clamp_max=clamp_max,

@@ -33,6 +33,51 @@ def load_image(path: str, resolution: int, dtype=jnp.float32):
     return jnp.asarray(arr, dtype=dtype)
 
 
+def _pool2(x):
+    """2x average-pool (even-cropped)."""
+    hh = (x.shape[0] // 2) * 2
+    ww = (x.shape[1] // 2) * 2
+    x = x[:hh, :ww]
+    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2]
+                   + x[1::2, 1::2])
+
+
+def make_image_mse(per_view_norm: bool = False, pyramid_levels: int = 1):
+    """Image-match loss with the round-4 quality levers (VERDICT r3 #1).
+
+    The reference loss is plain per-view MSE of mean-normalized images
+    (image_opt.py:84-133); the 128^2 einstein/turing ladder plateaus at
+    corr 0.69/0.52 under it.  Two opt-in extensions:
+
+    * ``per_view_norm``: scale-invariant matching — each rendered image is
+      multiplied by the optimal per-view scale a* = <im, meas>/<im, im>
+      before the MSE, so per-view global-intensity error (to which the
+      two-view far-field formation is nearly unconstrained) stops consuming
+      gradient signal.  a* is differentiable: the loss becomes the squared
+      projection residual.
+    * ``pyramid_levels > 1``: multi-scale MSE — the residual is also
+      measured on 2x/4x/... average-pooled pyramids, giving smooth
+      long-range gradients that move misplaced caustic mass toward the
+      right image region instead of averaging against local texture.
+    """
+
+    def image_mse(im, meas):
+        if per_view_norm:
+            a = jnp.sum(im * meas) / jnp.maximum(jnp.sum(im * im), 1e-12)
+            im = a * im
+        loss = jnp.mean((im - meas) ** 2)
+        if pyramid_levels > 1:
+            ca, cb = im, meas
+            for _ in range(pyramid_levels - 1):
+                ca = _pool2(ca)
+                cb = _pool2(cb)
+                loss = loss + jnp.mean((ca - cb) ** 2)
+            loss = loss / pyramid_levels
+        return loss
+
+    return image_mse
+
+
 def multires_exp(params: Dict, result_dir: Optional[str] = None):
     """Main driver (image_opt.py:16-155).  Returns (final_eta, loss_hist)."""
     disp_ims = params.get("disp_ims", [None])
@@ -57,6 +102,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
     use_mesh = params.get("mesh", False)
     seed = params.get("seed", 0)
     dtype = params.get("dtype", jnp.float32)
+    image_mse = make_image_mse(params.get("per_view_norm", False),
+                               params.get("pyramid_levels", 1))
 
     h = vol_span / max(res_list[-1] - 1, 1)
     ds = h / step_res
@@ -91,8 +138,9 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
                       rays.planes.astype(dtype), rays.mask)
         return rays, rpv, tpv.astype(dtype)
 
+    grad_holder = {"mode": params.get("gradient")}
     trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
-                              gradient=params.get("gradient"))
+                              gradient=grad_holder)
 
     def view_images(eta, key, samples):
         rays, rpv, tpv = gen_start_rays(key, samples)
@@ -125,7 +173,7 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
                     xs, vs, sdf_disp, sensor_p, sensor_n, sensor_t)]
             near_loss = sum((sdi ** 2).sum() / sdi.size for sdi in near_sdf)
         elif disp_ims[0] is not None:
-            near_loss = sum(jnp.mean((im - meas) ** 2)
+            near_loss = sum(image_mse(im, meas)
                             for im, meas in zip(near_images, disp_ims)) / len(disp_ims)
 
         far_loss = 0.0
@@ -144,7 +192,7 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
                 for xv, vv, sp, sn, st, mk in zip(
                     xs, vs, sensor_p, sensor_n, sensor_t, ms)]
             far_loss = defl_weight * sum(
-                jnp.mean((im - meas) ** 2)
+                image_mse(im, meas)
                 for im, meas in zip(far_images, defl_ims))
 
         return near_loss + far_loss
@@ -173,8 +221,24 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
         rays, _, _ = gen_start_rays(jax.random.PRNGKey(seed + 777), 1)
         common.gradient_spotcheck(n0, rays.x, rays.v, vol_span, ds,
                                   mask=rays.mask, metrics=metrics)
+    stage_fn = None
+    if (params.get("auto_exact", True) and not autodiff
+            and params.get("gradient") is None):
+        def _probe_rays():
+            r, _, _ = gen_start_rays(jax.random.PRNGKey(seed + 778), 1)
+            return r.x, r.v, r.mask
+        stage_fn = common.make_stage_escalator(
+            grad_holder, vol_span, ds, _probe_rays, metrics)
+
+    rays_per_iter = nbins * nbins * spp * nviews
+
+    def stat_fn(it, loss, secs):
+        metrics.log(it, loss=loss, secs=round(secs, 3), rays=rays_per_iter,
+                    rays_per_s=round(rays_per_iter / max(secs, 1e-9), 1))
+
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
+        stage_fn=stage_fn, stat_fn=stat_fn,
         statename=f"{result_dir}/result" if result_dir else None,
         key=jax.random.PRNGKey(seed),
         clamp_max=clamp_max,

@@ -84,8 +84,9 @@ def run_opt(params: Dict, result_dir: Optional[str] = None):
         rays, nrays = S._cat_rays(views)
         return rays, nrays
 
+    grad_holder = {"mode": params.get("gradient")}
     trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
-                              gradient=params.get("gradient"))
+                              gradient=grad_holder)
 
     def loss_function(eta, key):
         rays, _ = gen_start_rays(key, spp)
@@ -123,8 +124,17 @@ def run_opt(params: Dict, result_dir: Optional[str] = None):
         rays, _ = gen_start_rays(jax.random.PRNGKey(seed + 777), 1)
         common.gradient_spotcheck(n0, rays.x, rays.v, vol_span, ds,
                                   mask=rays.mask, metrics=metrics)
+    stage_fn = None
+    if (params.get("auto_exact", True) and not autodiff
+            and params.get("gradient") is None):
+        def _probe_rays():
+            r, _ = gen_start_rays(jax.random.PRNGKey(seed + 778), 1)
+            return r.x, r.v, r.mask
+        stage_fn = common.make_stage_escalator(
+            grad_holder, vol_span, ds, _probe_rays, metrics)
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
+        stage_fn=stage_fn,
         statename=f"{result_dir}/result" if result_dir else None,
         key=jax.random.PRNGKey(seed),
         clamp_max=clamp_max,

@@ -97,6 +97,7 @@ def multires_opt(
     ckpt_backend: str = "npz",
     stat_fn: Optional[Callable[[int, float, float], None]] = None,
     sync_every: Optional[int] = None,
+    stage_fn: Optional[Callable[[int, jax.Array], None]] = None,
 ) -> Tuple[jax.Array, List[float]]:
     """Run the multi-resolution Adam loop (optimizer.py:44-84).
 
@@ -134,6 +135,11 @@ def multires_opt(
                           for i, s in enumerate(fresh))
 
     for res_iter in range(start_stage, len(res_list)):
+        if stage_fn is not None:
+            # stage-start hook: gradient-drift spotcheck / auto-escalation
+            # (experiments.common.make_stage_escalator) runs BEFORE this
+            # stage's jit trace so a mode flip takes effect immediately
+            stage_fn(res_iter, n)
         mask = boundary_interior_mask(n.shape) if freeze_boundary else None
 
         @jax.jit

@@ -305,6 +305,13 @@ def trace_plane_ad(rif, x, v, pln_o, pln_d, h, ds):
                               _steps_fwd(rif, h, ds))
 
 
+def trace_target_ad(rif, x, v, target, h, ds):
+    """Scan-autodiff target trace (no reference AD analog exists; used to
+    cross-validate trace_target_exact)."""
+    return E.trace_target_scan(_grid(rif, h), x, v, target, ds,
+                               _steps_fwd(rif, h, ds))
+
+
 def trace_sdf_ad(rif, sdf, x, v, h, ds):
     """ADSDFTracerC analog."""
     steps = int(2.0 * h * max(rif.shape) / ds)

@@ -430,6 +430,45 @@ def trace_plane_scan(field: G.GridField, x0, v0, pln_o, pln_d, ds,
     return xt, vt, ~esc
 
 
+def trace_target_scan(field: G.GridField, x0, v0, target, ds, max_steps: int):
+    """Differentiable scan version of trace_target.
+
+    The reference has no AD target tracer (core/tracer.py covers Back only);
+    this exists for gradient cross-validation of the exact/adjoint paths.
+    Steps are gated on ``~all(escaped)`` so the ballistic closest-approach
+    capture stops exactly where the while_loop forward stops.
+    """
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+    d20 = jnp.sum((x0 - target) ** 2, axis=-1)
+
+    def body(s, _):
+        x, v, xt, vt, d2, inside, esc = s
+        n, nx = G.eval_grad(field, x, inside)
+        v2 = v + (ds * n)[:, None] * nx
+        x2 = x + ds * v2
+        cur_d2 = jnp.sum((x2 - target) ** 2, axis=-1)
+        closer = cur_d2 < d2
+        cur_inside = G.inbounds(field, x2)
+        cross = inside & ~cur_inside
+        esc2 = esc | cross | G.escaped(field, x2, v2)
+        run = ~jnp.all(esc)
+        x2 = jnp.where(run, x2, x)
+        v2 = jnp.where(run, v2, v)
+        closer = closer & run
+        cur_inside = jnp.where(run, cur_inside, inside)
+        esc2 = jnp.where(run, esc2, esc)
+        xt = _where3(closer, x2, xt)
+        vt = _where3(closer, v2, vt)
+        d2 = jnp.where(closer, cur_d2, d2)
+        return (x2, v2, xt, vt, d2, cur_inside, esc2), None
+
+    (x, v, xt, vt, d2, _, esc), _ = lax.scan(
+        body, (x0, v0, x0, v0, d20, inside0, esc0), None, length=max_steps)
+    return xt, vt, d2
+
+
 def trace_sdf_scan(field: G.GridField, sdf: G.GridField, x0, v0, ds,
                    max_steps: int):
     """Differentiable scan version of trace_sdf (ADSDFTracerC analog)."""

@@ -183,9 +183,14 @@ def trace_target(field: G.GridField, x0, v0, target, ds, max_steps: int):
         W, a3, ci3, _ = WD.fetch_window(wf, x)
         x, v, xt, vt, d2, inside, esc = substep(
             W, a3, ci3, x, v, xt, vt, d2, inside, esc, None)
+        # the second substep must also respect the per-step stop conditions:
+        # the reference's while loop re-checks all(escaped) between steps, and
+        # the target variant keeps capturing ballistically after escape — an
+        # ungated second substep would record closer approaches the
+        # single-step loop never sees (caught by trace_target_exact parity)
         x, v, xt, vt, d2, inside, esc = substep(
             W, a3, None, x, v, xt, vt, d2, inside, esc,
-            step + 1 < max_steps)
+            (step + 1 < max_steps) & ~jnp.all(esc))
         return (step + 2, x, v, xt, vt, d2, inside, esc)
 
     _, x, v, xt, vt, d2, _, esc = lax.while_loop(

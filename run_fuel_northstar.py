@@ -160,15 +160,17 @@ for stage, (res, iters, cpi) in enumerate(STAGES):
     # the strongest transient field this optimization can visit, instead of
     # the default 5% bump (~170x the signal) whose much stronger ray bending
     # dominates the drift measurement
-    rel = common.gradient_spotcheck(
+    stats = common.gradient_spotcheck(
         eta, jnp.asarray(x_all[:2048]), jnp.asarray(v_all[:2048]),
         VOL_SPAN, ds, mask=jnp.asarray(mask_all[:2048]),
         perturb_amp=10 * FUEL_VAL)
-    spotchecks[str(res)] = rel
-    print(f"stage {res}^3 grad spotcheck (adjoint vs exact): {rel:.2e}",
+    rel = stats["max_rel"]
+    spotchecks[str(res)] = stats
+    print(f"stage {res}^3 grad spotcheck (adjoint vs exact): {rel:.2e} "
+          f"(rel-L2 {stats['rel_l2']:.2e}, cos {stats['cos']:.4f})",
           flush=True)
     metrics.write(json.dumps(dict(stage_start=res, ds=ds,
-                                  grad_spotcheck=rel)) + "\n")
+                                  grad_spotcheck=rel, **stats)) + "\n")
 
     @jax.jit
     def apply(eta, opt_state, g):

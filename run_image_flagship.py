@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-RESULT_DIR = "results/einstein_turing_128"
+RESULT_DIR = os.environ.get("IMG_DIR", "results/einstein_turing_r4")
 
 
 def target_correlation(eta, resolution=128, spp=32, seed=1234):
@@ -86,5 +86,10 @@ if __name__ == "__main__":
         vol_span=20, step_res=2, spp=8, lr=1e-4, seed=0,
         record_iters=int(os.environ.get("IMG_RECORD", "50")),
         resume_from=f"{RESULT_DIR}/result.npz" if resume else None,
+        # round-4 quality levers (VERDICT r3 #1): scale-invariant per-view
+        # matching + 4-level pyramid MSE; stage-level spotcheck escalates to
+        # the checkpointed-exact gradient when adjoint drift exceeds 1e-2
+        per_view_norm=os.environ.get("IMG_PVNORM", "1") == "1",
+        pyramid_levels=int(os.environ.get("IMG_PYRAMID", "4")),
     )
     write_report(eta, hist)

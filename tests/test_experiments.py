@@ -65,6 +65,27 @@ class TestImage:
         eta, hist = image.multires_exp(params)
         assert hist[-1] <= hist[0]
 
+    def test_quality_levers(self):
+        """per_view_norm + pyramid MSE (round-4 loss levers) run and the
+        scale-matched loss is scale-invariant in the rendered image."""
+        from adjointnonlinearraytracing_tpu.experiments.image import (
+            make_image_mse)
+        mse = make_image_mse(per_view_norm=True, pyramid_levels=3)
+        key = jax.random.PRNGKey(0)
+        im = jax.random.uniform(key, (16, 16)) + 0.5
+        meas = jax.random.uniform(jax.random.PRNGKey(1), (16, 16)) + 0.5
+        a = mse(im, meas)
+        b = mse(3.7 * im, meas)
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+        # and the full driver runs with the levers on
+        tgt = S.sum_norm(jnp.ones((8, 8)))
+        params = dict(disp_ims=[tgt], res_list=[5, 9], vol_span=10, spp=1,
+                      nbins=8, optim_iters=4, lr=5e-3, seed=0,
+                      per_view_norm=True, pyramid_levels=3)
+        eta, hist = image.multires_exp(params)
+        assert np.isfinite(hist).all()
+        assert hist[-1] <= hist[0]
+
     def test_two_view(self):
         t1 = S.sum_norm(jnp.ones((6, 6)))
         t2 = S.sum_norm(1.0 + jnp.linspace(0, 1, 36).reshape(6, 6))

@@ -402,3 +402,156 @@ class TestCheckpointedAdjoint:
             for s in (4, 16, 64)]
         np.testing.assert_allclose(grads[0], grads[1], atol=1e-12)
         np.testing.assert_allclose(grads[1], grads[2], atol=1e-12)
+
+
+class TestCheckpointedVariants:
+    """Exact checkpointed gradients for plane/target/sdf/cable — the
+    coverage the reference's AD tape had (core/tracer.py:16-290), now with
+    drift-free gradients at O(N*(steps/seg+seg)) memory (VERDICT r3 #3)."""
+
+    def _plane_case(self, dtype=jnp.float64):
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.2, dtype=dtype)
+        x, v = entry_rays(8, res, h, seed=3, dtype=dtype)
+        span = (res - 1) * h
+        po = jnp.tile(jnp.array([[0.0, span / 2, 0.0]], dtype), (8, 1))
+        pd = jnp.tile(jnp.array([[0.0, 1.0, 0.0]], dtype), (8, 1))
+        return rif, x, v, po, pd, h
+
+    def test_plane_forward_identical(self):
+        rif, x, v, po, pd, h = self._plane_case()
+        a = tracer.trace_plane(rif, x, v, po, pd, h, 0.25)
+        b = tracer.trace_plane_exact(rif, x, v, po, pd, h, 0.25, 8)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-14)
+        np.testing.assert_allclose(a[1], b[1], atol=1e-14)
+        np.testing.assert_array_equal(a[2], b[2])
+
+    def test_plane_gradient_machine_precision(self):
+        rif, x, v, po, pd, h = self._plane_case()
+
+        def loss(tr):
+            def f(r):
+                xt, vt, miss = tr(r)
+                live = (~miss).astype(r.dtype)[:, None]
+                return jnp.sum(live * (xt ** 2 + xt * vt))
+            return f
+
+        g1 = jax.grad(loss(lambda r: tracer.trace_plane_exact(
+            r, x, v, po, pd, h, 0.25, 8)))(rif)
+        g2 = jax.grad(loss(lambda r: tracer.trace_plane_ad(
+            r, x, v, po, pd, h, 0.25)))(rif)
+        scale = jnp.abs(g2).max()
+        np.testing.assert_allclose(g1 / scale, g2 / scale, atol=1e-13)
+
+    def _target_case(self, dtype=jnp.float64):
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.25, dtype=dtype)
+        x, v = entry_rays(8, res, h, seed=5, dtype=dtype)
+        span = (res - 1) * h
+        target = jnp.tile(jnp.array([[span / 2, span + 1.0, span / 2]], dtype),
+                          (8, 1))
+        return rif, x, v, target, h
+
+    def test_target_forward_identical(self):
+        rif, x, v, target, h = self._target_case()
+        a = tracer.trace_target(rif, x, v, target, h, 0.25)
+        b = tracer.trace_target_exact(rif, x, v, target, h, 0.25, 8)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-14)
+        np.testing.assert_allclose(a[1], b[1], atol=1e-14)
+        np.testing.assert_allclose(a[2], b[2], atol=1e-14)
+
+    def test_target_scan_matches_while(self):
+        rif, x, v, target, h = self._target_case()
+        a = tracer.trace_target(rif, x, v, target, h, 0.25)
+        b = tracer.trace_target_ad(rif, x, v, target, h, 0.25)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-14)
+        np.testing.assert_allclose(a[2], b[2], atol=1e-14)
+
+    def test_target_gradient_machine_precision(self):
+        rif, x, v, target, h = self._target_case()
+        g1 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_target_exact(r, x, v, target, h, 0.25, 8)[0] ** 2))(rif)
+        g2 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_target_ad(r, x, v, target, h, 0.25)[0] ** 2))(rif)
+        scale = jnp.abs(g2).max()
+        np.testing.assert_allclose(g1 / scale, g2 / scale, atol=1e-13)
+
+    def _sdf_case(self, dtype=jnp.float64):
+        res, h = 17, 1.0
+        rif = bump_field(res, h, amp=0.2, dtype=dtype)
+        idx = jnp.arange(res, dtype=dtype) * h
+        z, y, x3 = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        c = (res - 1) * h / 2
+        sdf = jnp.sqrt((x3 - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) - 6.0
+        x = jnp.asarray([[c, c - 5.5, c], [c + 1.0, c - 5.2, c - 0.5],
+                         [c - 1.2, c - 5.0, c + 0.8]], dtype)
+        v = jnp.asarray([[0.0, 1.0, 0.0], [0.05, 1.0, -0.02],
+                         [-0.04, 1.0, 0.03]], dtype)
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return rif, sdf, x, v, h
+
+    def test_sdf_forward_identical(self):
+        rif, sdf, x, v, h = self._sdf_case()
+        a = tracer.trace_sdf(rif, sdf, x, v, h, 0.25)
+        b = tracer.trace_sdf_exact(rif, sdf, x, v, h, 0.25, 8)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-14)
+        np.testing.assert_allclose(a[1], b[1], atol=1e-14)
+
+    def test_sdf_gradient_machine_precision(self):
+        rif, sdf, x, v, h = self._sdf_case()
+        g1 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_sdf_exact(r, sdf, x, v, h, 0.25, 8)[0] ** 2))(rif)
+        g2 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_sdf_ad(r, sdf, x, v, h, 0.25)[0] ** 2))(rif)
+        scale = jnp.abs(g2).max()
+        np.testing.assert_allclose(g1 / scale, g2 / scale, atol=1e-13)
+
+    def _cable_case(self, dtype=jnp.float64):
+        prof = (1.0 + 0.1 * jnp.linspace(1.0, 0.0, 9) ** 2).astype(dtype)
+        xc = jnp.asarray([[1.3, 0.01, 1.0], [0.8, 0.01, 1.2],
+                          [1.1, 0.01, 0.7]], dtype)
+        vc = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], dtype), (3, 1))
+        tg = jnp.tile(jnp.asarray([[1.0, 3.5, 1.0]], dtype), (3, 1))
+        return prof, xc, vc, tg
+
+    def test_cable_forward_identical(self):
+        prof, xc, vc, tg = self._cable_case()
+        a = tracer.trace_cable(prof, 1.0, 4.0, xc, vc, tg, 0.02)
+        b = tracer.trace_cable_exact(prof, 1.0, 4.0, xc, vc, tg, 0.02, 8)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-14)
+        np.testing.assert_allclose(a[1], b[1], atol=1e-14)
+        np.testing.assert_allclose(a[2], b[2], atol=1e-14)
+
+    def test_cable_gradient_machine_precision(self):
+        prof, xc, vc, tg = self._cable_case()
+        g1 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_cable_exact(r, 1.0, 4.0, xc, vc, tg, 0.02, 8)[0] ** 2
+            ))(prof)
+        g2 = jax.grad(lambda r: jnp.sum(
+            tracer.trace_cable_ad(r, 1.0, 4.0, xc, vc, tg, 0.02)[0] ** 2
+            ))(prof)
+        scale = jnp.abs(g2).max()
+        np.testing.assert_allclose(g1 / scale, g2 / scale, atol=1e-12)
+
+    def test_rough_f32_plane_no_drift(self):
+        """On a rough f32 field where the O(1)-memory adjoint drifts, the
+        checkpointed plane variant stays at f32 machine precision."""
+        key = jax.random.PRNGKey(1)
+        rif = (jnp.ones((17, 17, 17))
+               + 0.1 * jax.random.uniform(key, (17, 17, 17))).astype(jnp.float32)
+        from adjointnonlinearraytracing_tpu.sources import sources as S
+
+        r = S.plane_source3(0.0, 6, 20.0)
+        x = r.x.astype(jnp.float32)
+        v = r.v.astype(jnp.float32)
+        n = x.shape[0]
+        po = jnp.tile(jnp.array([[0.0, 25.0, 0.0]], jnp.float32), (n, 1))
+        pd = jnp.tile(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+        h, ds = 20 / 16, 10 / 16
+
+        gE = jax.grad(lambda nn: jnp.sum(
+            tracer.trace_plane_exact(nn, x, v, po, pd, h, ds, 16)[0] ** 2))(rif)
+        gA = jax.grad(lambda nn: jnp.sum(
+            tracer.trace_plane_ad(nn, x, v, po, pd, h, ds)[0] ** 2))(rif)
+        rel = float(jnp.abs(gE - gA).max() / jnp.abs(gA).max())
+        assert rel < 1e-4, rel
