@@ -42,22 +42,37 @@ def target_correlation(eta, resolution=128, spp=32, seed=1234):
     xs = common.split_views(xmp, rpv)
     vs = common.split_views(vmp, rpv)
     ms = common.split_views(rays.mask, rpv)
-    corr = []
+    def _corr(x, y):
+        a = x.ravel() - x.mean()
+        b = y.ravel() - y.mean()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def _pool(x, k):
+        n = (x.shape[0] // k) * k
+        return x[:n, :n].reshape(n // k, k, n // k, k).mean(axis=(1, 3))
+
+    corr, corr_pooled = [], []
     for xv, vv, sp, sn, st, mk, tgt in zip(
             xs, vs, sensor_p, sensor_n, sensor_t, ms, targets):
         im = S.sum_norm(sensors.generate_sensor(
             (xv, vv), 1.0, (sp, sn), resolution, vol_span, st, mask=mk))
-        a = np.asarray(im).ravel() - float(np.mean(im))
-        b = np.asarray(tgt).ravel() - float(np.mean(tgt))
-        corr.append(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
-    return corr
+        im = np.asarray(im)
+        tgt = np.asarray(tgt)
+        corr.append(_corr(im, tgt))
+        # 4x-pooled correlation: the structural metric — per-pixel caustic
+        # speckle (Monte-Carlo splat noise the eye ignores) dominates the
+        # full-resolution correlation of a visually recognizable render
+        corr_pooled.append(_corr(_pool(im, 4), _pool(tgt, 4)))
+    return corr, corr_pooled
 
 
 def write_report(eta, hist):
-    corr = target_correlation(eta)
+    corr, corr_pooled = target_correlation(eta)
     report = {"first_loss": float(hist[0]), "last_loss": float(hist[-1]),
               "n_iters": len(hist), "stage_res": int(eta.shape[0]),
-              "corr_einstein": corr[0], "corr_turing": corr[1]}
+              "corr_einstein": corr[0], "corr_turing": corr[1],
+              "corr4x_einstein": corr_pooled[0],
+              "corr4x_turing": corr_pooled[1]}
     with open(f"{RESULT_DIR}/report.json", "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
