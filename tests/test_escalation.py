@@ -116,3 +116,30 @@ class TestMultiresStageFn:
         multires_opt(loss, jnp.ones((3, 3, 3)), 2, [3, 5, 9],
                      lr=1e-2, stage_fn=stage_fn)
         assert seen == [(0, 3), (1, 5), (2, 9)]
+
+
+class TestSyncEvery:
+    def test_batched_sync_identical_history(self):
+        """sync_every=K changes only when the host blocks, not the math:
+        loss history and final field are identical."""
+        def loss(n, key):
+            return jnp.sum((n - 2.0) ** 2) * (1.0 + 0.0 * key[0])
+
+        n0 = jnp.ones((5, 5, 5))
+        outs = []
+        for k in (1, 4):
+            n, hist = multires_opt(loss, n0, 3, [5, 9], lr=1e-2,
+                                   key=jax.random.PRNGKey(7), sync_every=k)
+            outs.append((n, hist))
+        np.testing.assert_allclose(outs[0][1], outs[1][1], atol=0)
+        np.testing.assert_allclose(outs[0][0], outs[1][0], atol=0)
+
+    def test_stat_fn_sees_every_step(self):
+        seen = []
+
+        def loss(n, key):
+            return jnp.sum(n ** 2)
+
+        multires_opt(loss, jnp.ones((3, 3, 3)), 2, [3], lr=1e-3,
+                     sync_every=3, stat_fn=lambda it, l, s: seen.append(it))
+        assert seen == [0, 1]
