@@ -174,8 +174,19 @@ def gradient_spotcheck(eta, x, v, vol_span, ds, mask=None, n_rays=2048,
     return dict(max_rel=rel, rel_l2=l2, cos=cos)
 
 
+def exact_mem_bytes(n_rays, res, vol_span, ds, seg=32):
+    """Checkpoint + replay footprint of trace_exact for one batch.
+
+    ckpts: (nseg, N, 7) f32; replay emits (seg, N, 3) + (seg, N) plus the
+    (seg, N, 6) carry class — bounded here as seg*N*10 floats."""
+    h = vol_span / max(res - 1, 1)
+    steps = tracer.max_steps_fwd(res, h, ds)
+    nseg = -(-steps // seg)
+    return 4 * n_rays * (nseg * 7 + seg * 10)
+
+
 def make_stage_escalator(holder, vol_span, ds, probe_rays, metrics=None,
-                         tol=None, n_rays=2048):
+                         tol=None, n_rays=2048, rays_per_iter=None):
     """Stage-level gradient auto-escalation (VERDICT r3 #3).
 
     Returns a ``stage_fn`` for :func:`opt.multires_opt`: at the start of each
@@ -191,6 +202,11 @@ def make_stage_escalator(holder, vol_span, ds, probe_rays, metrics=None,
     """
     if tol is None:
         tol = float(os.environ.get("ANRT_EXACT_TOL", "0.01"))
+    # trace_exact above ~1 GB of checkpoint+replay state reproducibly
+    # crashed the TPU worker at 1.31M rays (ROADMAP round-4 finding);
+    # refuse to escalate into that envelope until the exact path
+    # microbatches internally
+    mem_budget = int(os.environ.get("ANRT_EXACT_MEM_MB", "900")) << 20
 
     def stage_fn(stage, n):
         if holder.get("mode") not in (None, "adjoint"):
@@ -203,6 +219,20 @@ def make_stage_escalator(holder, vol_span, ds, probe_rays, metrics=None,
             name=f"grad_spotcheck_stage{stage}", perturb=False)
         if stats["rel_l2"] > tol:
             import warnings
+            if rays_per_iter is not None:
+                need = exact_mem_bytes(rays_per_iter, n.shape[0], vol_span,
+                                       ds)
+                if need > mem_budget:
+                    warnings.warn(
+                        f"stage {stage} (res {n.shape[0]}): adjoint drift "
+                        f"rel-L2 {stats['rel_l2']:.2e} > {tol:g}, but the "
+                        f"exact path would need ~{need >> 20} MB for "
+                        f"{rays_per_iter} rays (> ANRT_EXACT_MEM_MB="
+                        f"{mem_budget >> 20}); staying on the adjoint "
+                        "(TPU-worker crash envelope, ROADMAP r4 finding)")
+                    if metrics is not None:
+                        metrics.log(0, gradient_escalation_skipped_mb=need >> 20)
+                    return
             holder["mode"] = "exact"
             warnings.warn(
                 f"stage {stage} (res {n.shape[0]}): adjoint gradient rel-L2 "

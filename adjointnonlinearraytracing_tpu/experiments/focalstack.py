@@ -177,7 +177,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
                 angle_s, src_angle, dtype)
             return r.x, r.v, r.mask
         stage_fn = common.make_stage_escalator(
-            grad_holder, vol_span, ds, _probe_rays, metrics)
+            grad_holder, vol_span, ds, _probe_rays, metrics,
+            rays_per_iter=nbins * nbins * spp)
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
         stage_fn=stage_fn,

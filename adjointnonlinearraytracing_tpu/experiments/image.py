@@ -228,7 +228,8 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
             r, _, _ = gen_start_rays(jax.random.PRNGKey(seed + 778), 1)
             return r.x, r.v, r.mask
         stage_fn = common.make_stage_escalator(
-            grad_holder, vol_span, ds, _probe_rays, metrics)
+            grad_holder, vol_span, ds, _probe_rays, metrics,
+            rays_per_iter=nbins * nbins * spp * nviews)
 
     rays_per_iter = nbins * nbins * spp * nviews
 

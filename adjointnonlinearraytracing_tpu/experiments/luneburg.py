@@ -131,7 +131,8 @@ def run_opt(params: Dict, result_dir: Optional[str] = None):
             r, _ = gen_start_rays(jax.random.PRNGKey(seed + 778), 1)
             return r.x, r.v, r.mask
         stage_fn = common.make_stage_escalator(
-            grad_holder, vol_span, ds, _probe_rays, metrics)
+            grad_holder, vol_span, ds, _probe_rays, metrics,
+            rays_per_iter=nbins * nbins * spp * cube_rots)
     final_eta, loss_hist = multires_opt(
         loss_function, n0, optim_iters, res_list, log_function, lr=lr,
         stage_fn=stage_fn,

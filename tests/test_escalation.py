@@ -143,3 +143,36 @@ class TestSyncEvery:
         multires_opt(loss, jnp.ones((3, 3, 3)), 2, [3], lr=1e-3,
                      sync_every=3, stat_fn=lambda it, l, s: seen.append(it))
         assert seen == [0, 1]
+
+
+class TestMemGuard:
+    def test_refuses_escalation_over_budget(self, monkeypatch):
+        """Drift over tolerance but exact-path memory over budget: stay on
+        the adjoint (the TPU-worker crash envelope, ROADMAP r4)."""
+        rif, x, v, span, ds = _rough_case()
+        holder = {"mode": None}
+        monkeypatch.setenv("ANRT_EXACT_MEM_MB", "1")
+        stage_fn = common.make_stage_escalator(
+            holder, span, ds, lambda: (x, v, None), tol=1e-3,
+            rays_per_iter=2_000_000)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            stage_fn(1, rif)
+        assert holder["mode"] is None
+
+    def test_escalates_within_budget(self, monkeypatch):
+        rif, x, v, span, ds = _rough_case()
+        holder = {"mode": None}
+        monkeypatch.setenv("ANRT_EXACT_MEM_MB", "100000")
+        stage_fn = common.make_stage_escalator(
+            holder, span, ds, lambda: (x, v, None), tol=1e-3,
+            rays_per_iter=2_000_000)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            stage_fn(1, rif)
+        assert holder["mode"] == "exact"
+
+    def test_mem_estimate_scale(self):
+        # 1.31M rays at 65^3 (the crash case) must exceed ~600 MB
+        b = common.exact_mem_bytes(1_310_720, 65, 1.0, (1 / 64) / 2)
+        assert b > 600 << 20, b
