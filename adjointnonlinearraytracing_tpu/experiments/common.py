@@ -178,7 +178,15 @@ def exact_mem_bytes(n_rays, res, vol_span, ds, seg=32):
     """Checkpoint + replay footprint of trace_exact for one batch.
 
     ckpts: (nseg, N, 7) f32; replay emits (seg, N, 3) + (seg, N) plus the
-    (seg, N, 6) carry class — bounded here as seg*N*10 floats."""
+    (seg, N, 6) carry class — bounded here as seg*N*10 floats.  N is capped
+    at ANRT_EXACT_CHUNK: larger batches are microbatched along the ray axis
+    (tracer/checkpointed.py), so the footprint no longer grows with batch
+    size (the r4 crash envelope is closed)."""
+    from ..tracer.checkpointed import _exact_chunk_rays
+
+    chunk = _exact_chunk_rays()
+    if chunk:
+        n_rays = min(n_rays, chunk)
     h = vol_span / max(res - 1, 1)
     steps = tracer.max_steps_fwd(res, h, ds)
     nseg = -(-steps // seg)
@@ -202,11 +210,10 @@ def make_stage_escalator(holder, vol_span, ds, probe_rays, metrics=None,
     """
     if tol is None:
         tol = float(os.environ.get("ANRT_EXACT_TOL", "0.01"))
-    # trace_exact above ~1 GB of checkpoint+replay state reproducibly
-    # crashed the TPU worker at 1.31M rays (ROADMAP round-4 finding);
-    # refuse to escalate into that envelope until the exact path
-    # microbatches internally
-    mem_budget = int(os.environ.get("ANRT_EXACT_MEM_MB", "900")) << 20
+    # (the r4 ANRT_EXACT_MEM_MB refusal guard is gone: the exact path now
+    # microbatches the ray axis internally — ANRT_EXACT_CHUNK,
+    # tracer/checkpointed.py — so its memory is bounded at any batch size
+    # and escalation is always safe)
 
     def stage_fn(stage, n):
         if holder.get("mode") not in (None, "adjoint"):
@@ -219,20 +226,6 @@ def make_stage_escalator(holder, vol_span, ds, probe_rays, metrics=None,
             name=f"grad_spotcheck_stage{stage}", perturb=False)
         if stats["rel_l2"] > tol:
             import warnings
-            if rays_per_iter is not None:
-                need = exact_mem_bytes(rays_per_iter, n.shape[0], vol_span,
-                                       ds)
-                if need > mem_budget:
-                    warnings.warn(
-                        f"stage {stage} (res {n.shape[0]}): adjoint drift "
-                        f"rel-L2 {stats['rel_l2']:.2e} > {tol:g}, but the "
-                        f"exact path would need ~{need >> 20} MB for "
-                        f"{rays_per_iter} rays (> ANRT_EXACT_MEM_MB="
-                        f"{mem_budget >> 20}); staying on the adjoint "
-                        "(TPU-worker crash envelope, ROADMAP r4 finding)")
-                    if metrics is not None:
-                        metrics.log(0, gradient_escalation_skipped_mb=need >> 20)
-                    return
             holder["mode"] = "exact"
             warnings.warn(
                 f"stage {stage} (res {n.shape[0]}): adjoint gradient rel-L2 "

@@ -13,6 +13,7 @@ fiber_opt.py:176-262) rather than the shared multires engine.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -104,6 +105,13 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
         return S.Rays(rays.x.astype(dtype), rays.v.astype(dtype),
                       rays.planes.astype(dtype), rays.mask)
 
+    # gradient-mode holder (VERDICT r4 #7: stage-level escalation for the
+    # cable variant, same mechanism as make_trace's dict holder): the
+    # per-stage spotcheck below flips "adjoint" -> "exact" when the O(1)
+    # reverse re-integration drifts on the current profile; the stage's
+    # fresh jit retrace picks it up
+    grad_holder = {"mode": params.get("gradient")}
+
     def trace(nt, x, v, sp):
         # fiber_opt.py:153-163: normalize entry velocity by the boundary
         # index so |v| = n on entry, then trace the cylinder volume
@@ -111,6 +119,13 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
         vol = CylinderField(nt, cable_radius, cable_length)
         n_bound, _ = cyl_eval_grad(vol, x)
         v = v / n_bound[:, None]
+        mode = grad_holder.get("mode")
+        if mode == "ad" or (mode is None and autodiff):
+            return tracer.trace_cable_ad(nt, cable_radius, cable_length, x,
+                                         v, sp, float(sds))
+        if mode == "exact":
+            return tracer.trace_cable_exact(nt, cable_radius, cable_length,
+                                            x, v, sp, float(sds))
         return tracer.trace_cable(nt, cable_radius, cable_length, x, v, sp,
                                   float(sds))
 
@@ -166,7 +181,47 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
         rel = float(jnp.max(jnp.abs(g_adj - g_ad)) / scale)
         metrics.log(0, grad_spotcheck=rel)
 
+    def _stage_spotcheck(stage, nt):
+        """Per-stage adjoint-vs-exact drift check on the CURRENT profile
+        (drift grows with stage roughness — the startup check on the smooth
+        init can pass while a late stage drifts); flips the holder to the
+        checkpointed-exact cable gradient on excess rel-L2 drift
+        (VERDICT r4 #7 — fiber previously had only the startup check)."""
+        if grad_holder.get("mode") not in (None, "adjoint") or autodiff:
+            return
+        if stage == 0:
+            return  # startup spotcheck covers the first stage
+        tol = float(os.environ.get("ANRT_EXACT_TOL", "0.01"))
+        rays0 = gen_start_rays(jax.random.PRNGKey(seed + 778))
+        xs, vs = rays0.x[:512], rays0.v[:512]
+        sp0 = rays0.planes[:512, 0, :]
+        sds = float(cable_radius / nt.shape[0] / 2)
+
+        def probe(fn):
+            def f(p):
+                xm, vm, _ = fn(p, cable_radius, cable_length, xs, vs, sp0,
+                               sds)
+                return jnp.sum(xm ** 2 + xm * vm)
+            return f
+
+        g_adj = jax.grad(probe(tracer.trace_cable))(nt)
+        g_ex = jax.grad(probe(lambda *a: tracer.trace_cable_exact(*a)))(nt)
+        l2 = float(jnp.linalg.norm(g_adj - g_ex)
+                   / jnp.maximum(jnp.linalg.norm(g_ex), 1e-30))
+        metrics.log(0, **{f"grad_spotcheck_stage{stage}_rel_l2": l2})
+        if l2 > tol:
+            import warnings
+            grad_holder["mode"] = "exact"
+            warnings.warn(
+                f"fiber stage {stage} ({nt.shape[0]} bins): cable adjoint "
+                f"rel-L2 drift {l2:.2e} > {tol:g}; escalating to "
+                "trace_cable_exact for the remaining stages")
+            metrics.log(0, gradient_escalated_stage=stage,
+                        gradient_mode="exact")
+
     for res_iter in range(len(res_list)):
+        if params.get("auto_exact", True):
+            _stage_spotcheck(res_iter, n)
         opt = optax.adam((0.5 ** max(res_iter - 1, 0)) * lr
                          if res_iter > 0 else lr)
         opt_state = opt.init(n)

@@ -180,9 +180,14 @@ def multires_opt(
             nonlocal t_window
             if not pending:
                 return
+            # sync FIRST: float(lv) blocks until the device finishes the
+            # window's steps, so the timestamp below includes device compute.
+            # (r4 bug: the window was measured before the sync, so K>1 runs
+            # recorded host-dispatch time only — committed metrics showed
+            # 1.4e9 rays/s.  VERDICT r4 weak #1.)
+            vals = [float(lv) for _, lv in pending]
             secs = (time.perf_counter() - t_window) / len(pending)
-            for it, lv in pending:
-                lf = float(lv)
+            for (it, _), lf in zip(pending, vals):
                 loss_hist.append(lf)
                 if stat_fn is not None:
                     stat_fn(it, lf, secs)

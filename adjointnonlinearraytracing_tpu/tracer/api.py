@@ -61,6 +61,19 @@ def _check_per_ray3(arr, x, label, name):
             f"{x.shape[0]} rays")
 
 
+def _bcast_per_ray3(arr, x):
+    """Normalize an accepted (3,) / (1,3) per-ray vector to (N, 3).
+
+    The steppers and the zero cotangents both assume (N, 3); broadcasting at
+    the API boundary (and returning zeros shaped like the ORIGINAL arg from
+    the bwd rules) makes the documented shapes actually work under jax.grad
+    (ADVICE r4)."""
+    a = arr[None] if arr.ndim == 1 else arr
+    if a.shape[0] != x.shape[0]:
+        a = jnp.broadcast_to(a, x.shape)
+    return a
+
+
 def _grid(rif, h):
     return GridField(rif, h)
 
@@ -155,26 +168,28 @@ def trace_plane(rif, x, v, pln_o, pln_d, h, ds):
     _check_rif(rif, "trace_plane"); _check_rays(x, v, "trace_plane")
     _check_per_ray3(pln_o, x, "pln_o", "trace_plane")
     _check_per_ray3(pln_d, x, "pln_d", "trace_plane")
-    return _impl(rif, h, ds).trace_plane(_grid(rif, h), x, v, pln_o, pln_d,
-                                         ds, _steps_fwd(rif, h, ds))
+    return _impl(rif, h, ds).trace_plane(
+        _grid(rif, h), x, v, _bcast_per_ray3(pln_o, x),
+        _bcast_per_ray3(pln_d, x), ds, _steps_fwd(rif, h, ds))
 
 
 def _trace_plane_fwd(rif, x, v, pln_o, pln_d, h, ds):
-    out = _impl(rif, h, ds).trace_plane(_grid(rif, h), x, v, pln_o, pln_d,
-                                        ds, _steps_fwd(rif, h, ds))
+    out = _impl(rif, h, ds).trace_plane(
+        _grid(rif, h), x, v, _bcast_per_ray3(pln_o, x),
+        _bcast_per_ray3(pln_d, x), ds, _steps_fwd(rif, h, ds))
     xt, vt, miss = out
-    return out, (rif, xt, vt, miss)
+    return out, (rif, xt, vt, miss, pln_o, pln_d)
 
 
 def _trace_plane_bwd(h, ds, res, cts):
-    rif, xt, vt, miss = res
+    rif, xt, vt, miss, pln_o, pln_d = res
     dxt, dvt, _ = cts
     dxt = jnp.where(miss[:, None], 0.0, dxt)
     g = _impl(rif, h, ds).backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds,
                                     _steps_bwd(rif, h, ds))
     zeros3 = jnp.zeros_like(xt)
     return (g.reshape(rif.shape), zeros3, zeros3,
-            jnp.zeros_like(xt), jnp.zeros_like(xt))
+            jnp.zeros_like(pln_o), jnp.zeros_like(pln_d))
 
 
 trace_plane.defvjp(_trace_plane_fwd, _trace_plane_bwd)
@@ -190,24 +205,26 @@ def trace_target(rif, x, v, target, h, ds):
     (xt, vt, dist2).  dist2 carries no gradient (core/tracer.py:415-432)."""
     _check_rif(rif, "trace_target"); _check_rays(x, v, "trace_target")
     _check_per_ray3(target, x, "target", "trace_target")
-    return _impl(rif, h, ds).trace_target(_grid(rif, h), x, v, target, ds,
-                                          _steps_fwd(rif, h, ds))
+    return _impl(rif, h, ds).trace_target(
+        _grid(rif, h), x, v, _bcast_per_ray3(target, x), ds,
+        _steps_fwd(rif, h, ds))
 
 
 def _trace_target_fwd(rif, x, v, target, h, ds):
-    out = _impl(rif, h, ds).trace_target(_grid(rif, h), x, v, target, ds,
-                                         _steps_fwd(rif, h, ds))
+    out = _impl(rif, h, ds).trace_target(
+        _grid(rif, h), x, v, _bcast_per_ray3(target, x), ds,
+        _steps_fwd(rif, h, ds))
     xt, vt, d2 = out
-    return out, (rif, xt, vt)
+    return out, (rif, xt, vt, target)
 
 
 def _trace_target_bwd(h, ds, res, cts):
-    rif, xt, vt = res
+    rif, xt, vt, target = res
     dxt, dvt, _ = cts
     g = _impl(rif, h, ds).backtrace(_grid(rif, h), xt, vt, dxt, dvt, ds,
                                     _steps_bwd(rif, h, ds))
     zeros3 = jnp.zeros_like(xt)
-    return g.reshape(rif.shape), zeros3, zeros3, zeros3
+    return g.reshape(rif.shape), zeros3, zeros3, jnp.zeros_like(target)
 
 
 trace_target.defvjp(_trace_target_fwd, _trace_target_bwd)
@@ -265,25 +282,25 @@ def trace_cable(rif, radius, length, x, v, target, ds):
     _check_rays(x, v, "trace_cable")
     _check_per_ray3(target, x, "target", "trace_cable")
     steps = int(4.0 * length / ds)  # tracer.cpp:332
-    return E.trace_cable(CylinderField(rif, radius, length), x, v, target,
-                         ds, steps)
+    return E.trace_cable(CylinderField(rif, radius, length), x, v,
+                         _bcast_per_ray3(target, x), ds, steps)
 
 
 def _trace_cable_fwd(rif, radius, length, x, v, target, ds):
     steps = int(4.0 * length / ds)
-    out = E.trace_cable(CylinderField(rif, radius, length), x, v, target,
-                        ds, steps)
-    return out, (rif, out[0], out[1])
+    out = E.trace_cable(CylinderField(rif, radius, length), x, v,
+                        _bcast_per_ray3(target, x), ds, steps)
+    return out, (rif, out[0], out[1], target)
 
 
 def _trace_cable_bwd(radius, length, ds, res, cts):
-    rif, xt, vt = res
+    rif, xt, vt, target = res
     dxt, dvt, _ = cts
     steps = int(4.0 * length / ds)  # tracer.cpp:544
     g = E.backtrace_cable(CylinderField(rif, radius, length), xt, vt,
                           dxt, dvt, ds, steps)
     zeros3 = jnp.zeros_like(xt)
-    return g, zeros3, zeros3, zeros3
+    return g, zeros3, zeros3, jnp.zeros_like(target)
 
 
 trace_cable.defvjp(_trace_cable_fwd, _trace_cable_bwd)

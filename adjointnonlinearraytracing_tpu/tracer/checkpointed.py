@@ -34,6 +34,7 @@ the full tape would need ~6 GB of gathered residuals.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -104,8 +105,21 @@ def _make_volume_variant(field, variant, sdf=None, pln_o=None, pln_d=None,
 
 
 def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int,
-                        axis_name=None, variant="plain", **vargs):
+                        axis_name=None, variant="plain", store_ckpts=True,
+                        stop_step=None, **vargs):
     """Segmented forward; returns (xt, vt, esc, c, aux, ckpts).
+
+    ``store_ckpts=False`` emits empty per-segment stubs instead of the
+    (nseg, N, 7) checkpoint stack — the output-only mode used by the
+    microbatched path, whose backward recomputes checkpoints per chunk.
+
+    ``stop_step`` (target variant only): the reference's while-loop keeps
+    capturing ballistically until ALL rays have escaped (tracer.cpp:174-242)
+    — a batch-composition-dependent horizon.  Since escape is monotone,
+    "all escaped before step k" == "k >= max_i(escape step of ray i)", so a
+    chunked/sharded caller passes the GLOBAL horizon (from
+    :func:`_escape_steps`) and gets bit-identical capture semantics to the
+    full-batch trace regardless of how rays are split.
 
     ckpts: (nseg, N, 7) — (x, v, inside) at each segment start.
     c:     (N,) int32 capture step — the step index whose post-step state was
@@ -143,7 +157,8 @@ def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int,
         cross = inside & ~cur_inside
         esc2 = esc | cross | G.escaped(field, x2, v2)
         if step_gated:
-            run = ~jnp.all(esc)
+            run = (k < stop_step) if stop_step is not None \
+                else ~jnp.all(esc)
             x2 = jnp.where(run, x2, x)
             v2 = jnp.where(run, v2, v)
             cap = cap & run
@@ -157,8 +172,11 @@ def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int,
 
     def segment(carry, s):
         x, v, xt, vt, inside, esc, c, aux = carry
-        ck = jnp.concatenate(
-            [x, v, inside.astype(x.dtype)[:, None]], axis=-1)  # (N, 7)
+        if store_ckpts:
+            ck = jnp.concatenate(
+                [x, v, inside.astype(x.dtype)[:, None]], axis=-1)  # (N, 7)
+        else:
+            ck = jnp.zeros((0,), x.dtype)
 
         def run(carry):
             def body(j, cr):
@@ -168,7 +186,13 @@ def _forward_with_ckpts(field: GridField, x0, v0, ds, max_steps: int, seg: int,
             nsteps = jnp.minimum(seg, max_steps - s * seg)
             return lax.fori_loop(0, nsteps, body, carry)
 
-        carry2 = lax.cond(jnp.all(esc), lambda cr: cr, run, carry)
+        if step_gated and stop_step is not None:
+            # a shard/chunk whose own rays all escaped must KEEP stepping
+            # until the global horizon (ballistic capture continues)
+            skip = s * seg >= stop_step
+        else:
+            skip = jnp.all(esc)
+        carry2 = lax.cond(skip, lambda cr: cr, run, carry)
         return carry2, ck
 
     if axis_name is not None:
@@ -268,6 +292,165 @@ def _backward_segments(field: GridField, ckpts, c, dx, dv, ds, max_steps: int,
 
 
 # ---------------------------------------------------------------------------
+# Ray-axis microbatching: bounded memory at ANY batch size
+# ---------------------------------------------------------------------------
+#
+# The checkpoint stack is (nseg, N, 7) and the replay buffer (seg, N, ~10);
+# above ~1 GB of that state the TPU worker reproducibly crashed (3 crashes at
+# 1.31M rays / 65^3, ROADMAP round-4 finding).  The checkpointed backward is
+# per-ray-independent up to the final grid sum, so the fix is structural:
+# chunk the ray axis.  The forward emits outputs only (store_ckpts=False);
+# the backward lax.scans over chunks, recomputing each chunk's checkpoints
+# and accumulating the voxel gradient.  Memory is O(chunk * (steps/seg + seg))
+# regardless of N, at the cost of one extra forward pass when chunking is
+# active (~+30% over the resident-checkpoint path).
+
+
+def _exact_chunk_rays() -> int:
+    """Ray-axis microbatch size for the exact path (0 disables chunking).
+
+    Default 2^18 = 262144: at 129^3 (nseg 33, seg 32) that keeps
+    checkpoints (~240 MB) + replay (~340 MB) comfortably inside the
+    measured-safe envelope (the image flagship ran 900+ steps at exactly
+    this scale, ROADMAP r4)."""
+    return int(os.environ.get("ANRT_EXACT_CHUNK", str(1 << 18)))
+
+
+def _pad_rows(a, pad, zero=False):
+    if pad == 0:
+        return a
+    fill = (jnp.zeros((pad,) + a.shape[1:], a.dtype) if zero
+            else jnp.repeat(a[:1], pad, axis=0))
+    return jnp.concatenate([a, fill], axis=0)
+
+
+def _to_chunks(arrs, chunk, zero_from=None):
+    """Pad the ray axis to a chunk multiple and reshape to (nc, chunk, ...).
+
+    Rows are padded with copies of ray 0 (benign dynamics); arrays at index
+    >= ``zero_from`` (cotangents) are padded with zeros so padding
+    contributes nothing to gradients."""
+    n = arrs[0].shape[0]
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    out = []
+    for i, a in enumerate(arrs):
+        z = zero_from is not None and i >= zero_from
+        out.append(_pad_rows(a, pad, zero=z).reshape(
+            (nc, chunk) + a.shape[1:]))
+    return out, nc, pad
+
+
+def _escape_steps(field: GridField, x0, v0, ds, max_steps: int,
+                  axis_name=None):
+    """Per-ray escape step (the (k+1)-indexed step at which ``esc`` first
+    becomes true; max_steps for never-escaping rays).
+
+    Escape is monotone and independent of capture bookkeeping, so this is
+    batch-decomposable: the global target-variant stopping horizon is
+    ``max`` over every ray's escape step (see _forward_with_ckpts
+    ``stop_step``)."""
+    cf = CT.build_cell_table(field)
+    inside0 = G.inbounds(field, x0)
+    esc0 = jnp.zeros_like(inside0)
+    ds = jnp.asarray(ds, dtype=x0.dtype)
+    e0 = jnp.full((x0.shape[0],), max_steps, dtype=jnp.int32)
+    if axis_name is not None:
+        e0 = lax.pcast(e0, axis_name, to="varying")
+
+    def cond(s):
+        step, x, v, inside, esc, e = s
+        return (step < max_steps) & ~jnp.all(esc)
+
+    def body(s):
+        step, x, v, inside, esc, e = s
+        nv, nx = CT.eval_grad_from(*_fetch(cf, x, inside), field.h)
+        v2 = v + (ds * nv)[:, None] * nx
+        x2 = x + ds * v2
+        cur_inside = G.inbounds(field, x2)
+        cross = inside & ~cur_inside
+        esc2 = esc | cross | G.escaped(field, x2, v2)
+        e2 = jnp.where(esc2 & ~esc, step + 1, e)
+        return (step + 1, x2, v2, cur_inside, esc2, e2)
+
+    *_, e = lax.while_loop(cond, body,
+                           (jnp.zeros((), jnp.int32), x0, v0, inside0, esc0,
+                            e0))
+    return e
+
+
+def _target_stop_step(field: GridField, x, v, ds, max_steps: int, chunk: int,
+                      axis_name=None):
+    """Global target-variant capture horizon, computed chunk-by-chunk."""
+    if chunk and x.shape[0] > chunk:
+        arrs, _, _ = _to_chunks([x, v], chunk)
+
+        def one(args):
+            return jnp.max(_escape_steps(field, args[0], args[1], ds,
+                                         max_steps, axis_name=axis_name))
+
+        return jnp.max(lax.map(one, tuple(arrs)))
+    return jnp.max(_escape_steps(field, x, v, ds, max_steps,
+                                 axis_name=axis_name))
+
+
+def _forward_chunked(field: GridField, x, v, ds, max_steps: int, seg: int,
+                     chunk: int, axis_name=None, variant="plain",
+                     per_ray=(), stop_step=None, **vargs):
+    """Output-only segmented forward, lax.map'ed over ray chunks.
+
+    ``per_ray``: tuple of (name, (N, ...) array) variant args chunked
+    alongside the rays (plane origins/normals, targets).  Returns
+    (xt, vt, esc, c, aux) at the full N."""
+    n = x.shape[0]
+    names = tuple(k for k, _ in per_ray)
+    arrs, nc, _ = _to_chunks([x, v] + [a for _, a in per_ray], chunk)
+
+    def one(args):
+        xx, vv, *pr = args
+        va = dict(zip(names, pr))
+        xt, vt, esc, c, aux, _ = _forward_with_ckpts(
+            field, xx, vv, ds, max_steps, seg, axis_name=axis_name,
+            variant=variant, store_ckpts=False, stop_step=stop_step,
+            **va, **vargs)
+        return xt, vt, esc, c, aux
+
+    xt, vt, esc, c, aux = lax.map(one, tuple(arrs))
+
+    def unf(a):
+        return a.reshape((nc * chunk,) + a.shape[2:])[:n]
+
+    return unf(xt), unf(vt), unf(esc), unf(c), unf(aux)
+
+
+def _backward_chunked(field: GridField, x, v, dxt, dvt, ds, max_steps: int,
+                      seg: int, chunk: int, axis_name=None, variant="plain",
+                      per_ray=(), stop_step=None, **vargs):
+    """Recompute checkpoints and run the exact backward, one ray chunk at a
+    time, accumulating the (flattened) voxel gradient."""
+    names = tuple(k for k, _ in per_ray)
+    arrs, _, _ = _to_chunks(
+        [x, v, dxt, dvt] + [a for _, a in per_ray], chunk, zero_from=2)
+
+    def body(g, args):
+        xx, vv, dxx, dvv, *pr = args
+        va = dict(zip(names, pr))
+        _, _, _, c, _, ckpts = _forward_with_ckpts(
+            field, xx, vv, ds, max_steps, seg, axis_name=axis_name,
+            variant=variant, stop_step=stop_step, **va, **vargs)
+        gc = _backward_segments(field, ckpts, c, dxx, dvv, ds, max_steps,
+                                seg, axis_name=axis_name, variant=variant,
+                                **va, **vargs)
+        return g + gc, None
+
+    g0 = jnp.zeros((field.data.size,), field.data.dtype)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
+    g, _ = lax.scan(body, g0, tuple(arrs))
+    return g
+
+
+# ---------------------------------------------------------------------------
 # trace_exact — plain volume trace
 # ---------------------------------------------------------------------------
 
@@ -279,10 +462,24 @@ def trace_exact(rif, x, v, h, ds, seg: int = 32):
     segment checkpoints + forward replay instead of reverse re-integration,
     so gradients match plain autodiff at machine precision at ANY dtype
     (including rough float32 fields where the O(1)-memory adjoint drifts).
-    Memory: O(N * (steps/seg + seg)).
+    Memory: O(min(N, ANRT_EXACT_CHUNK) * (steps/seg + seg)) — batches larger
+    than the chunk size are microbatched along the ray axis, so the exact
+    path is safe at any scale (the reference AD tape covers every scale GPU
+    memory permits, core/tracer.py:16-66; round-4's unchunked path crashed
+    the TPU worker above ~1 GB of checkpoint state).
+
+    Exactness note: rays that never exit within max_steps return their
+    untouched initial ``v0`` as vt, so their vt cotangent is zeroed in the
+    backward (== jax.grad through the unrolled forward; the reference's
+    BackTracerC family instead propagates it — an approximation this module
+    deliberately does not inherit, ADVICE r4).
     """
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        xt, vt, _, _, _ = _forward_chunked(field, x, v, ds, steps, seg, chunk)
+        return xt, vt
     xt, vt, _, _, _, _ = _forward_with_ckpts(field, x, v, ds, steps, seg)
     return xt, vt
 
@@ -290,18 +487,30 @@ def trace_exact(rif, x, v, h, ds, seg: int = 32):
 def _trace_exact_fwd(rif, x, v, h, ds, seg):
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        xt, vt, esc, _, _ = _forward_chunked(field, x, v, ds, steps, seg,
+                                             chunk)
+        # microbatched: no resident checkpoints — the backward recomputes
+        # them per chunk from (x, v)
+        return (xt, vt), (rif, x, v, esc, None, None)
     xt, vt, esc, c, _, ckpts = _forward_with_ckpts(field, x, v, ds, steps, seg)
-    return (xt, vt), (rif, c, ckpts)
+    return (xt, vt), (rif, x, v, esc, c, ckpts)
 
 
 def _trace_exact_bwd(h, ds, seg, res, cts):
-    rif, c, ckpts = res
+    rif, x, v, esc, c, ckpts = res
     dxt, dvt = cts
+    # never-exited rays report the untouched initial v0 -> true vt grad is 0
+    dvt = jnp.where(esc[:, None], dvt, 0.0)
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
-    g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg)
-    n = ckpts.shape[1]
-    zeros3 = jnp.zeros((n, 3), dtype=ckpts.dtype)
+    if ckpts is None:
+        g = _backward_chunked(field, x, v, dxt, dvt, ds, steps, seg,
+                              _exact_chunk_rays())
+    else:
+        g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg)
+    zeros3 = jnp.zeros_like(x)
     return g.reshape(rif.shape), zeros3, zeros3
 
 
@@ -312,38 +521,72 @@ trace_exact.defvjp(_trace_exact_fwd, _trace_exact_bwd)
 # trace_plane_exact
 # ---------------------------------------------------------------------------
 
+def _bcast_per_ray(arr, x):
+    """Normalize a (3,) / (1,3) per-ray vector arg to (N, 3) (ADVICE r4)."""
+    a = arr[None] if arr.ndim == 1 else arr
+    if a.shape[0] != x.shape[0]:
+        a = jnp.broadcast_to(a, x.shape)
+    return a
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def trace_plane_exact(rif, x, v, pln_o, pln_d, h, ds, seg: int = 32):
     """Plane-terminated trace with exact checkpointed gradients.
 
     Same semantics as :func:`tracer.trace_plane` (returns (xt, vt, miss);
-    missed rays' position cotangent is zeroed, core/tracer.py:366-371)."""
+    missed rays' position cotangent is zeroed, core/tracer.py:366-371).
+    Missed rays' vt is the untouched v0, so their vt cotangent is also
+    zeroed — true autodiff behavior; the reference's BackPlaneTracerC
+    propagates it (ADVICE r4, deliberate exactness deviation)."""
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    po, pd = _bcast_per_ray(pln_o, x), _bcast_per_ray(pln_d, x)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        xt, vt, esc, _, _ = _forward_chunked(
+            field, x, v, ds, steps, seg, chunk, variant="plane",
+            per_ray=(("pln_o", po), ("pln_d", pd)))
+        return xt, vt, ~esc
     xt, vt, esc, _, _, _ = _forward_with_ckpts(
-        field, x, v, ds, steps, seg, variant="plane", pln_o=pln_o, pln_d=pln_d)
+        field, x, v, ds, steps, seg, variant="plane", pln_o=po, pln_d=pd)
     return xt, vt, ~esc
 
 
 def _trace_plane_exact_fwd(rif, x, v, pln_o, pln_d, h, ds, seg):
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    po, pd = _bcast_per_ray(pln_o, x), _bcast_per_ray(pln_d, x)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        xt, vt, esc, _, _ = _forward_chunked(
+            field, x, v, ds, steps, seg, chunk, variant="plane",
+            per_ray=(("pln_o", po), ("pln_d", pd)))
+        return (xt, vt, ~esc), (rif, x, v, po, pd, ~esc, None, None,
+                                pln_o, pln_d)
     xt, vt, esc, c, _, ckpts = _forward_with_ckpts(
-        field, x, v, ds, steps, seg, variant="plane", pln_o=pln_o, pln_d=pln_d)
-    return (xt, vt, ~esc), (rif, pln_o, pln_d, c, ckpts, ~esc)
+        field, x, v, ds, steps, seg, variant="plane", pln_o=po, pln_d=pd)
+    return (xt, vt, ~esc), (rif, x, v, po, pd, ~esc, c, ckpts, pln_o, pln_d)
 
 
 def _trace_plane_exact_bwd(h, ds, seg, res, cts):
-    rif, pln_o, pln_d, c, ckpts, miss = res
+    rif, x, v, po, pd, miss, c, ckpts, pln_o, pln_d = res
     dxt, dvt, _ = cts
+    # reference zeroes missed rays' xt cotangent (core/tracer.py:366-371);
+    # their vt is the untouched v0, so its true cotangent is zero too
     dxt = jnp.where(miss[:, None], 0.0, dxt)
+    dvt = jnp.where(miss[:, None], 0.0, dvt)
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
-    g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg,
-                           variant="plane", pln_o=pln_o, pln_d=pln_d)
-    n = ckpts.shape[1]
-    zeros3 = jnp.zeros((n, 3), dtype=ckpts.dtype)
-    return g.reshape(rif.shape), zeros3, zeros3, zeros3, zeros3
+    if ckpts is None:
+        g = _backward_chunked(field, x, v, dxt, dvt, ds, steps, seg,
+                              _exact_chunk_rays(), variant="plane",
+                              per_ray=(("pln_o", po), ("pln_d", pd)))
+    else:
+        g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg,
+                               variant="plane", pln_o=po, pln_d=pd)
+    zeros3 = jnp.zeros_like(x)
+    return (g.reshape(rif.shape), zeros3, zeros3,
+            jnp.zeros_like(pln_o), jnp.zeros_like(pln_d))
 
 
 trace_plane_exact.defvjp(_trace_plane_exact_fwd, _trace_plane_exact_bwd)
@@ -361,29 +604,51 @@ def trace_target_exact(rif, x, v, target, h, ds, seg: int = 32):
     dist2 carries no gradient)."""
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    tgt = _bcast_per_ray(target, x)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        # the capture horizon is the FULL batch's all-escaped step — compute
+        # it first so per-chunk capture matches the unchunked trace exactly
+        t_stop = _target_stop_step(field, x, v, ds, steps, chunk)
+        xt, vt, _, _, d2 = _forward_chunked(
+            field, x, v, ds, steps, seg, chunk, variant="target",
+            per_ray=(("target", tgt),), stop_step=t_stop)
+        return xt, vt, d2
     xt, vt, _, _, d2, _ = _forward_with_ckpts(
-        field, x, v, ds, steps, seg, variant="target", target=target)
+        field, x, v, ds, steps, seg, variant="target", target=tgt)
     return xt, vt, d2
 
 
 def _trace_target_exact_fwd(rif, x, v, target, h, ds, seg):
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
+    tgt = _bcast_per_ray(target, x)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        t_stop = _target_stop_step(field, x, v, ds, steps, chunk)
+        xt, vt, _, _, d2 = _forward_chunked(
+            field, x, v, ds, steps, seg, chunk, variant="target",
+            per_ray=(("target", tgt),), stop_step=t_stop)
+        return (xt, vt, d2), (rif, x, v, tgt, None, None, target, t_stop)
     xt, vt, _, c, d2, ckpts = _forward_with_ckpts(
-        field, x, v, ds, steps, seg, variant="target", target=target)
-    return (xt, vt, d2), (rif, target, c, ckpts)
+        field, x, v, ds, steps, seg, variant="target", target=tgt)
+    return (xt, vt, d2), (rif, x, v, tgt, c, ckpts, target, None)
 
 
 def _trace_target_exact_bwd(h, ds, seg, res, cts):
-    rif, target, c, ckpts = res
+    rif, x, v, tgt, c, ckpts, target, t_stop = res
     dxt, dvt, _ = cts
     field = GridField(rif, h)
     steps = E.max_steps_fwd(max(rif.shape), h, ds)
-    g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg,
-                           variant="target", target=target)
-    n = ckpts.shape[1]
-    zeros3 = jnp.zeros((n, 3), dtype=ckpts.dtype)
-    return g.reshape(rif.shape), zeros3, zeros3, zeros3
+    if ckpts is None:
+        g = _backward_chunked(field, x, v, dxt, dvt, ds, steps, seg,
+                              _exact_chunk_rays(), variant="target",
+                              per_ray=(("target", tgt),), stop_step=t_stop)
+    else:
+        g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg,
+                               variant="target", target=tgt)
+    zeros3 = jnp.zeros_like(x)
+    return g.reshape(rif.shape), zeros3, zeros3, jnp.zeros_like(target)
 
 
 trace_target_exact.defvjp(_trace_target_exact_fwd, _trace_target_exact_bwd)
@@ -401,6 +666,12 @@ def trace_sdf_exact(rif, sdf, x, v, h, ds, seg: int = 32):
     (the sdf grid's cotangent is zero, core/tracer.py:461-479)."""
     field = GridField(rif, h)
     steps = int(2.0 * h * max(rif.shape) / ds)  # tracer.cpp:262
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        xt, vt, _, _, _ = _forward_chunked(
+            field, x, v, ds, steps, seg, chunk, variant="sdf",
+            sdf=GridField(sdf, h))
+        return xt, vt
     xt, vt, _, _, _, _ = _forward_with_ckpts(
         field, x, v, ds, steps, seg, variant="sdf", sdf=GridField(sdf, h))
     return xt, vt
@@ -409,20 +680,30 @@ def trace_sdf_exact(rif, sdf, x, v, h, ds, seg: int = 32):
 def _trace_sdf_exact_fwd(rif, sdf, x, v, h, ds, seg):
     field = GridField(rif, h)
     steps = int(2.0 * h * max(rif.shape) / ds)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        xt, vt, _, _, _ = _forward_chunked(
+            field, x, v, ds, steps, seg, chunk, variant="sdf",
+            sdf=GridField(sdf, h))
+        return (xt, vt), (rif, sdf, x, v, None, None)
     xt, vt, _, c, _, ckpts = _forward_with_ckpts(
         field, x, v, ds, steps, seg, variant="sdf", sdf=GridField(sdf, h))
-    return (xt, vt), (rif, sdf, c, ckpts)
+    return (xt, vt), (rif, sdf, x, v, c, ckpts)
 
 
 def _trace_sdf_exact_bwd(h, ds, seg, res, cts):
-    rif, sdf, c, ckpts = res
+    rif, sdf, x, v, c, ckpts = res
     dxt, dvt = cts
     field = GridField(rif, h)
     steps = int(2.0 * h * max(rif.shape) / ds)
-    g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg,
-                           variant="sdf", sdf=GridField(sdf, h))
-    n = ckpts.shape[1]
-    zeros3 = jnp.zeros((n, 3), dtype=ckpts.dtype)
+    if ckpts is None:
+        g = _backward_chunked(field, x, v, dxt, dvt, ds, steps, seg,
+                              _exact_chunk_rays(), variant="sdf",
+                              sdf=GridField(sdf, h))
+    else:
+        g = _backward_segments(field, ckpts, c, dxt, dvt, ds, steps, seg,
+                               variant="sdf", sdf=GridField(sdf, h))
+    zeros3 = jnp.zeros_like(x)
     return g.reshape(rif.shape), jnp.zeros_like(sdf), zeros3, zeros3
 
 
@@ -441,13 +722,15 @@ trace_sdf_exact.defvjp(_trace_sdf_exact_fwd, _trace_sdf_exact_bwd)
 
 
 def _fwd_ckpts_cable(field: CylinderField, x0, v0, target, ds, max_steps: int,
-                     seg: int):
+                     seg: int, store_ckpts=True, axis_name=None):
     nseg = -(-max_steps // seg)
     inside0 = C.cyl_inbounds(field, x0)
     esc0 = jnp.zeros_like(inside0)
     ds = jnp.asarray(ds, dtype=x0.dtype)
     d20 = jnp.sum((x0 - target) ** 2, axis=-1)
     c0 = jnp.zeros((x0.shape[0],), dtype=jnp.int32)
+    if axis_name is not None:
+        c0 = lax.pcast(c0, axis_name, to="varying")
 
     def step(carry, k):
         x, v, xt, vt, d2, inside, esc, c = carry
@@ -472,8 +755,11 @@ def _fwd_ckpts_cable(field: CylinderField, x0, v0, target, ds, max_steps: int,
 
     def segment(carry, s):
         x, v, xt, vt, d2, inside, esc, c = carry
-        ck = jnp.concatenate(
-            [x, v, esc.astype(x.dtype)[:, None]], axis=-1)  # (N, 7)
+        if store_ckpts:
+            ck = jnp.concatenate(
+                [x, v, esc.astype(x.dtype)[:, None]], axis=-1)  # (N, 7)
+        else:
+            ck = jnp.zeros((0,), x.dtype)
 
         def run(carry):
             def body(j, cr):
@@ -492,12 +778,14 @@ def _fwd_ckpts_cable(field: CylinderField, x0, v0, target, ds, max_steps: int,
 
 
 def _bwd_segments_cable(field: CylinderField, ckpts, c, dx, dv, ds,
-                        max_steps: int, seg: int):
+                        max_steps: int, seg: int, axis_name=None):
     nseg = ckpts.shape[0]
     ds = jnp.asarray(ds, dtype=ckpts.dtype)
     la0 = dx
     mu0 = dv + ds * dx
     g0 = jnp.zeros_like(field.data)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
     max_c = jnp.max(c)
 
     def replay_segment(ck):
@@ -559,35 +847,87 @@ def _bwd_segments_cable(field: CylinderField, ckpts, c, dx, dv, ds,
     return g
 
 
+def _fwd_cable_chunked(field, x, v, target, ds, steps, seg, chunk,
+                       axis_name=None):
+    arrs, nc, _ = _to_chunks([x, v, target], chunk)
+
+    def one(args):
+        xx, vv, tt = args
+        xt, vt, d2, c, _ = _fwd_ckpts_cable(field, xx, vv, tt, ds, steps,
+                                            seg, store_ckpts=False,
+                                            axis_name=axis_name)
+        return xt, vt, d2
+
+    xt, vt, d2 = lax.map(one, tuple(arrs))
+    n = x.shape[0]
+
+    def unf(a):
+        return a.reshape((nc * chunk,) + a.shape[2:])[:n]
+
+    return unf(xt), unf(vt), unf(d2)
+
+
+def _bwd_cable_chunked(field, x, v, target, dxt, dvt, ds, steps, seg, chunk,
+                       axis_name=None):
+    arrs, _, _ = _to_chunks([x, v, target, dxt, dvt], chunk, zero_from=3)
+
+    def body(g, args):
+        xx, vv, tt, dxx, dvv = args
+        _, _, _, c, ckpts = _fwd_ckpts_cable(field, xx, vv, tt, ds, steps,
+                                             seg, axis_name=axis_name)
+        gc = _bwd_segments_cable(field, ckpts, c, dxx, dvv, ds, steps, seg,
+                                 axis_name=axis_name)
+        return g + gc, None
+
+    g0 = jnp.zeros_like(field.data)
+    if axis_name is not None:
+        g0 = lax.pcast(g0, axis_name, to="varying")
+    g, _ = lax.scan(body, g0, tuple(arrs))
+    return g
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 6, 7))
 def trace_cable_exact(rif, radius, length, x, v, target, ds, seg: int = 32):
     """Cylinder-volume trace with exact checkpointed gradients.
 
     Same semantics as :func:`tracer.trace_cable` (returns (xt, vt, dist2);
-    only the 1D radial profile receives a gradient)."""
+    only the 1D radial profile receives a gradient).  Batches above
+    ANRT_EXACT_CHUNK rays are microbatched (bounded memory at any scale)."""
     field = CylinderField(rif, radius, length)
     steps = int(4.0 * length / ds)  # tracer.cpp:332
-    xt, vt, d2, _, _ = _fwd_ckpts_cable(field, x, v, target, ds, steps, seg)
+    tgt = _bcast_per_ray(target, x)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        return _fwd_cable_chunked(field, x, v, tgt, ds, steps, seg, chunk)
+    xt, vt, d2, _, _ = _fwd_ckpts_cable(field, x, v, tgt, ds, steps, seg)
     return xt, vt, d2
 
 
 def _trace_cable_exact_fwd(rif, radius, length, x, v, target, ds, seg):
     field = CylinderField(rif, radius, length)
     steps = int(4.0 * length / ds)
-    xt, vt, d2, c, ckpts = _fwd_ckpts_cable(field, x, v, target, ds, steps,
+    tgt = _bcast_per_ray(target, x)
+    chunk = _exact_chunk_rays()
+    if chunk and x.shape[0] > chunk:
+        out = _fwd_cable_chunked(field, x, v, tgt, ds, steps, seg, chunk)
+        return out, (rif, x, v, tgt, None, None, target)
+    xt, vt, d2, c, ckpts = _fwd_ckpts_cable(field, x, v, tgt, ds, steps,
                                             seg)
-    return (xt, vt, d2), (rif, c, ckpts)
+    return (xt, vt, d2), (rif, x, v, tgt, c, ckpts, target)
 
 
 def _trace_cable_exact_bwd(radius, length, ds, seg, res, cts):
-    rif, c, ckpts = res
+    rif, x, v, tgt, c, ckpts, target = res
     dxt, dvt, _ = cts
     field = CylinderField(rif, radius, length)
     steps = int(4.0 * length / ds)
-    g = _bwd_segments_cable(field, ckpts, c, dxt, dvt, ds, steps, seg)
-    n = ckpts.shape[1]
-    zeros3 = jnp.zeros((n, 3), dtype=ckpts.dtype)
-    return g, zeros3, zeros3, zeros3
+    if ckpts is None:
+        g = _bwd_cable_chunked(field, x, v, tgt, dxt, dvt, ds, steps, seg,
+                               _exact_chunk_rays())
+    else:
+        g = _bwd_segments_cable(field, ckpts, c, dxt, dvt, ds, steps, seg)
+    zeros3 = jnp.zeros_like(x)
+    return g, zeros3, zeros3, jnp.zeros_like(target)
 
 
 trace_cable_exact.defvjp(_trace_cable_exact_fwd, _trace_cable_exact_bwd)

@@ -144,35 +144,94 @@ class TestSyncEvery:
                      sync_every=3, stat_fn=lambda it, l, s: seen.append(it))
         assert seen == [0, 1]
 
+    def test_secs_include_device_compute(self):
+        """K>1 windows must time the device work, not just host dispatch.
 
-class TestMemGuard:
-    def test_refuses_escalation_over_budget(self, monkeypatch):
-        """Drift over tolerance but exact-path memory over budget: stay on
-        the adjoint (the TPU-worker crash envelope, ROADMAP r4)."""
-        rif, x, v, span, ds = _rough_case()
-        holder = {"mode": None}
-        monkeypatch.setenv("ANRT_EXACT_MEM_MB", "1")
-        stage_fn = common.make_stage_escalator(
-            holder, span, ds, lambda: (x, v, None), tol=1e-3,
-            rays_per_iter=2_000_000)
+        r4 bug (VERDICT weak #1): drain() computed the window BEFORE the
+        blocking float() sync, so with async dispatch the measured window
+        held only host dispatch time — committed focal-stack metrics
+        recorded 1.4e9 rays/s.  A 50 ms device-side sleep per step must
+        show up in the reported per-step secs."""
+        import time as _t
+
+        def slow_identity(s):
+            _t.sleep(0.05)
+            return s
+
+        def loss(n, key):
+            s = jax.lax.stop_gradient(jnp.sum(n))
+            c = jax.pure_callback(
+                slow_identity, jax.ShapeDtypeStruct((), s.dtype), s)
+            return jnp.sum(n ** 2) + 0.0 * c
+
+        secs = []
+        multires_opt(loss, jnp.ones((3, 3, 3)), 4, [3], lr=1e-3,
+                     sync_every=2,
+                     stat_fn=lambda it, l, s: secs.append(s))
+        assert len(secs) == 4
+        # the last window is compile-free: pure device compute
+        assert secs[-1] >= 0.04, secs
+
+
+class TestFiberEscalation:
+    def test_forced_escalation_runs_exact(self, monkeypatch, tmp_path):
+        """Stage-level escalation for the cable variant (VERDICT r4 #7):
+        with the tolerance forced below any achievable drift, the stage-1
+        spotcheck must flip the driver to trace_cable_exact and the run
+        must complete on it."""
+        import json
+
+        from adjointnonlinearraytracing_tpu.experiments import fiber
+
+        monkeypatch.setenv("ANRT_EXACT_TOL", "-1")
+        p = fiber.default_params()
+        p.update(res_list=[3, 5], optim_iters=1, nbins=8, spp=1,
+                 record_iters=10 ** 9, grad_spotcheck=False)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            stage_fn(1, rif)
-        assert holder["mode"] is None
+            n, hist = fiber.multires_exp(p, result_dir=str(tmp_path))
+        assert np.isfinite(np.asarray(hist)).all()
+        rows = [json.loads(l) for l in
+                open(tmp_path / "metrics.jsonl").read().splitlines()]
+        assert any(r.get("gradient_mode") == "exact" for r in rows)
 
-    def test_escalates_within_budget(self, monkeypatch):
+    def test_explicit_exact_mode(self):
+        """gradient='exact' routes the whole fiber run through
+        trace_cable_exact."""
+        from adjointnonlinearraytracing_tpu.experiments import fiber
+
+        p = fiber.default_params()
+        p.update(res_list=[3], optim_iters=1, nbins=8, spp=1,
+                 record_iters=10 ** 9, grad_spotcheck=False,
+                 gradient="exact")
+        n, hist = fiber.multires_exp(p, result_dir=None)
+        assert np.isfinite(np.asarray(hist)).all()
+
+
+class TestExactMem:
+    def test_escalates_at_any_batch_size(self):
+        """The r4 memory refusal guard is gone: the exact path microbatches
+        internally (ANRT_EXACT_CHUNK), so escalation always proceeds."""
         rif, x, v, span, ds = _rough_case()
         holder = {"mode": None}
-        monkeypatch.setenv("ANRT_EXACT_MEM_MB", "100000")
         stage_fn = common.make_stage_escalator(
             holder, span, ds, lambda: (x, v, None), tol=1e-3,
-            rays_per_iter=2_000_000)
+            rays_per_iter=10_000_000)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             stage_fn(1, rif)
         assert holder["mode"] == "exact"
 
-    def test_mem_estimate_scale(self):
-        # 1.31M rays at 65^3 (the crash case) must exceed ~600 MB
-        b = common.exact_mem_bytes(1_310_720, 65, 1.0, (1 / 64) / 2)
-        assert b > 600 << 20, b
+    def test_mem_estimate_chunk_capped(self, monkeypatch):
+        """exact_mem_bytes saturates at ANRT_EXACT_CHUNK rays: the footprint
+        of the r4 crash case (1.31M rays / 65^3) is now the same as one
+        chunk's."""
+        big = common.exact_mem_bytes(1_310_720, 65, 1.0, (1 / 64) / 2)
+        one = common.exact_mem_bytes(1 << 18, 65, 1.0, (1 / 64) / 2)
+        assert big == one, (big, one)
+        # and well under the ~1 GB crash class
+        assert big < 600 << 20, big
+        # unchunked estimate (the old crash case) still exceeds it
+        monkeypatch.setenv("ANRT_EXACT_CHUNK", "0")
+        raw = common.exact_mem_bytes(1_310_720, 65, 1.0, (1 / 64) / 2)
+        assert raw > 600 << 20, raw

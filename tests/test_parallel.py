@@ -145,6 +145,151 @@ class TestShardedExact:
             tracer.trace_exact(r, x, v, h, ds, 8)[0] ** 2))(rif)
         np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
 
+    def test_chunked_matches_single_device(self, monkeypatch):
+        """Per-shard microbatching (ANRT_EXACT_CHUNK below the 4-ray shard
+        size) must not change outputs or gradients (VERDICT r4 #1)."""
+        from adjointnonlinearraytracing_tpu.parallel.mesh import (
+            make_ray_mesh, make_sharded_trace_exact)
+
+        mesh = make_ray_mesh()
+        res, h, ds = 9, 1.0, 0.5
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(32, res, h, seed=3)  # 4 rays/shard
+
+        monkeypatch.setenv("ANRT_EXACT_CHUNK", "2")
+        f = make_sharded_trace_exact(mesh, h, ds, res, seg=8)
+        xt_s, vt_s = f(rif, x, v)
+        monkeypatch.setenv("ANRT_EXACT_CHUNK", "0")
+        xt, vt = tracer.trace_exact(rif, x, v, h, ds, 8)
+        np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+        np.testing.assert_allclose(vt_s, vt, atol=1e-12)
+
+        monkeypatch.setenv("ANRT_EXACT_CHUNK", "2")
+        g_s = jax.jit(jax.grad(lambda r: jnp.sum(f(r, x, v)[0] ** 2)))(rif)
+        monkeypatch.setenv("ANRT_EXACT_CHUNK", "0")
+        g = jax.grad(lambda r: jnp.sum(
+            tracer.trace_exact(r, x, v, h, ds, 8)[0] ** 2))(rif)
+        np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
+
+
+class TestShardedVariantCoverage:
+    """VERDICT r4 #7: sdf/cable sharded builders + exact=True options, so
+    every trace variant can run sharded AND drift-free."""
+
+    def _sdf_case(self):
+        res, h = 9, 1.0
+        rif = bump_field(res, h, amp=0.2)
+        idx = jnp.arange(res, dtype=jnp.float64) * h
+        z, y, x = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        c = (res - 1) * h / 2
+        sdf = jnp.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) - 3.0
+        xs, vs = entry_rays(16, res, h, seed=6)
+        xs = xs.at[:, 1].set(c)
+        xs = xs.at[:, 0].set(jnp.clip(xs[:, 0], c - 2.0, c + 2.0))
+        xs = xs.at[:, 2].set(jnp.clip(xs[:, 2], c - 2.0, c + 2.0))
+        return rif, sdf, xs, vs, h
+
+    def test_sdf_matches_single_device(self):
+        from adjointnonlinearraytracing_tpu.parallel.mesh import (
+            make_ray_mesh, make_sharded_trace_sdf)
+
+        mesh = make_ray_mesh()
+        rif, sdf, x, v, h = self._sdf_case()
+        ds = 0.25
+
+        for exact in (False, True):
+            f = make_sharded_trace_sdf(mesh, h, ds, 9, exact=exact, seg=8)
+            xt_s, vt_s = f(rif, sdf, x, v)
+            xt, vt = tracer.trace_sdf(rif, sdf, x, v, h, ds)
+            np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+            np.testing.assert_allclose(vt_s, vt, atol=1e-12)
+
+            g_s = jax.jit(jax.grad(
+                lambda r: jnp.sum(f(r, sdf, x, v)[0] ** 2)))(rif)
+            ref = (tracer.trace_sdf_exact if exact else tracer.trace_sdf)
+            args = (x, v, h, ds, 8) if exact else (x, v, h, ds)
+            g = jax.grad(lambda r: jnp.sum(
+                ref(r, sdf, *args)[0] ** 2))(rif)
+            np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
+
+    def test_cable_matches_single_device(self):
+        from adjointnonlinearraytracing_tpu.parallel.mesh import (
+            make_ray_mesh, make_sharded_trace_cable)
+
+        mesh = make_ray_mesh()
+        prof = 1.0 + 0.1 * jnp.linspace(1.0, 0.0, 9) ** 2
+        n = 16
+        key = jax.random.PRNGKey(4)
+        xy = 0.3 * jax.random.normal(key, (n, 2))
+        xc = jnp.stack([1.0 + xy[:, 0], jnp.full((n,), 0.01),
+                        1.0 + xy[:, 1]], axis=-1)
+        vc = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (n, 1))
+        tg = jnp.tile(jnp.array([[1.0, 3.5, 1.0]]), (n, 1))
+        ds = 0.02
+
+        for exact in (False, True):
+            f = make_sharded_trace_cable(mesh, 1.0, 4.0, ds, exact=exact,
+                                         seg=16)
+            xt_s, vt_s, d2_s = f(prof, xc, vc, tg)
+            xt, vt, d2 = tracer.trace_cable(prof, 1.0, 4.0, xc, vc, tg, ds)
+            np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+            np.testing.assert_allclose(d2_s, d2, atol=1e-12)
+
+            g_s = jax.jit(jax.grad(
+                lambda r: jnp.sum(f(r, xc, vc, tg)[0] ** 2)))(prof)
+            if exact:
+                g = jax.grad(lambda r: jnp.sum(tracer.trace_cable_exact(
+                    r, 1.0, 4.0, xc, vc, tg, ds, 16)[0] ** 2))(prof)
+            else:
+                g = jax.grad(lambda r: jnp.sum(tracer.trace_cable(
+                    r, 1.0, 4.0, xc, vc, tg, ds)[0] ** 2))(prof)
+            np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
+
+    def test_plane_exact_matches_single_device(self):
+        from adjointnonlinearraytracing_tpu.parallel.mesh import (
+            make_ray_mesh, make_sharded_trace_plane)
+
+        mesh = make_ray_mesh()
+        res, h, ds = 9, 1.0, 0.25
+        rif = bump_field(res, h, amp=0.2)
+        x, v = entry_rays(16, res, h, seed=8)
+        po = jnp.tile(jnp.array([[0.0, 4.0, 0.0]]), (16, 1))
+        pd = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (16, 1))
+
+        f = make_sharded_trace_plane(mesh, h, ds, res, exact=True, seg=8)
+        xt_s, vt_s, miss_s = f(rif, x, v, po, pd)
+        xt, vt, miss = tracer.trace_plane_exact(rif, x, v, po, pd, h, ds, 8)
+        np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+        np.testing.assert_array_equal(miss_s, miss)
+
+        g_s = jax.jit(jax.grad(
+            lambda r: jnp.sum(f(r, x, v, po, pd)[0] ** 2)))(rif)
+        g = jax.grad(lambda r: jnp.sum(tracer.trace_plane_exact(
+            r, x, v, po, pd, h, ds, 8)[0] ** 2))(rif)
+        np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
+
+    def test_target_exact_matches_single_device(self):
+        from adjointnonlinearraytracing_tpu.parallel.mesh import (
+            make_ray_mesh, make_sharded_trace_target)
+
+        mesh = make_ray_mesh()
+        res, h, ds = 9, 1.0, 0.25
+        rif = bump_field(res, h, amp=0.25)
+        x, v = entry_rays(16, res, h, seed=9)
+        tgt = jnp.tile(jnp.array([[4.0, 9.0, 4.0]]), (16, 1))
+
+        f = make_sharded_trace_target(mesh, h, ds, res, exact=True, seg=8)
+        xt_s, vt_s, d2_s = f(rif, x, v, tgt)
+        xt, vt, d2 = tracer.trace_target_exact(rif, x, v, tgt, h, ds, 8)
+        np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+        np.testing.assert_allclose(d2_s, d2, atol=1e-12)
+
+        g_s = jax.jit(jax.grad(
+            lambda r: jnp.sum(f(r, x, v, tgt)[0] ** 2)))(rif)
+        g = jax.grad(lambda r: jnp.sum(tracer.trace_target_exact(
+            r, x, v, tgt, h, ds, 8)[0] ** 2))(rif)
+        np.testing.assert_allclose(g_s, g, rtol=1e-10, atol=1e-12)
+
 
 class TestAutoPad:
     def test_make_trace_mesh_handles_indivisible_counts(self):
