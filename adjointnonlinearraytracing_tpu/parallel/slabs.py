@@ -25,10 +25,24 @@ Design (ring rotation — the ring-attention pattern applied to volumes):
   no extra collective.
 
 Memory per device at 1025^3 f32: table slab (1026/D)*1026^2*8*4 B — 4.3 GB
-at D=8, 1.1 GB at D=32 — vs 34 GB replicated.  This is the validated
-prototype of SURVEY §2.3's grid-sharding row; production deployment needs
-only K tuning and building each slab from z-sharded voxel data (+1 halo
-row) instead of the host-side full-table build used here.
+at D=8, 1.1 GB at D=32 — vs 34 GB replicated.  This is SURVEY §2.3's
+grid-sharding row.  Two builders:
+
+* :func:`make_slab_trace` — the round-4 prototype: full rif replicated,
+  full cell table materialized host-side then split (useful for testing).
+* :func:`make_slab_trace_zsharded` — the production path (VERDICT r4 #4):
+  voxel data arrives Z-SHARDED (``pad_rif_z`` + P('rays', None, None)),
+  each device builds only its own slab from local rows + a one-plane halo
+  ppermute, the gradient is folded slab-locally with a one-plane boundary
+  exchange and returned z-sharded.  No device ever holds the full cell
+  table, full grid, or full gradient — the compiled per-device footprint
+  is a handful of slab-sized ring buffers (~4x table/D, asserted by
+  tests/test_slabs.py::test_per_device_footprint_at_257: 268 MB/device at
+  257^3 vs >= 1.1 GB replicated).  Supports plain and plane variants.
+
+Failure mode: lanes that exhaust the phase budget (``phase_slack`` extra
+ring revolutions beyond the steps/K bound) are NaN-poisoned in outputs and
+gradients — truncation is loud, never silent (ADVICE r4).
 
 Exactness: tests/test_slabs.py asserts forward outputs equal tracer.trace
 bitwise-modulo-f64-tolerance and gradients match the replicated adjoint.
@@ -79,6 +93,90 @@ def build_slab_tables(field: GridField, ndev: int):
     return rows.reshape(ndev, S * h1 * w1, 8), S
 
 
+def pad_rif_z(rif: jax.Array, ndev: int) -> jax.Array:
+    """Edge-pad the voxel z-axis to ``ndev * slab_rows(res+1, ndev)`` rows.
+
+    The padded rows are copies of the last z-plane, so (a) the local slab
+    build's unclamped z-indexing reproduces the reference's border clamping
+    exactly (volume.cpp:131-132), and (b) plain autodiff through this
+    function folds padded-row gradients back into the boundary plane —
+    callers differentiate straight through ``traced(pad_rif_z(rif), ...)``.
+    Differentiable; keeps z-sharding under jit (concat of a z-sharded
+    operand with a small edge block)."""
+    res = rif.shape[0]
+    zpad = ndev * slab_rows(res + 1, ndev)
+    extra = zpad - res
+    if extra == 0:
+        return rif
+    return jnp.concatenate(
+        [rif, jnp.broadcast_to(rif[-1:], (extra,) + rif.shape[1:])], axis=0)
+
+
+def _build_local_slab(rif_local, halo_prev, first_dev, res, S):
+    """Device-local cell-table slab from this device's voxel z-rows.
+
+    ``rif_local``: (S, res, res) — voxel rows [z0, z0+S) of the z-padded
+    volume.  ``halo_prev``: (res, res) — the previous device's last voxel
+    row (= global row z0-1); on device 0 the caller passes this device's own
+    row 0 (the z=0 edge clamp).  Returns (S*(res+1)^2, 8) rows in exactly
+    the layout of :func:`build_slab_tables`.
+
+    This is the production build path: no device ever materializes the full
+    cell table or the full voxel grid (VERDICT r4 #4)."""
+    zblock = jnp.concatenate(
+        [jnp.where(first_dev, rif_local[:1], halo_prev[None]), rif_local],
+        axis=0)  # (S+1, res, res); zblock[j] == padded-volume P[z0 + j]
+    zb = jnp.pad(zblock, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    corners = []
+    for c in range(2):
+        for b in range(2):
+            for a in range(2):
+                corners.append(
+                    lax.slice(zb, (c, b, a), (c + S, b + res + 1,
+                                              a + res + 1)))
+    table = jnp.stack(corners, axis=-1)  # (S, res+1, res+1, 8)
+    return table.reshape(S * (res + 1) * (res + 1), 8)
+
+
+def _fold_local_slab_grad(gslab, first_dev, res, S):
+    """Transpose of _build_local_slab: fold cell-row grads back to voxel
+    rows.  Returns (gvox_local (S, res, res), boundary (res, res)) where
+    ``boundary`` is the contribution to global voxel row z0-1 (owned by the
+    PREVIOUS device; the caller ppermutes it back and adds, except on
+    device 0 where it belongs to this device's own row 0)."""
+    cg = gslab.reshape(S, res + 1, res + 1, 8)
+    gzb = jnp.zeros((S + 1, res + 2, res + 2), dtype=gslab.dtype)
+    k = 0
+    for c in range(2):
+        for b in range(2):
+            for a in range(2):
+                gzb = lax.dynamic_update_slice(
+                    gzb,
+                    lax.dynamic_slice(gzb, (c, b, a), (S, res + 1, res + 1))
+                    + cg[..., k],
+                    (c, b, a))
+                k += 1
+    # collapse the x/y edge padding (edge-pad transpose, fields/cells.py)
+    def collapse(axis, arr):
+        n = arr.shape[axis]
+        first = lax.index_in_dim(arr, 0, axis, keepdims=False)
+        last = lax.index_in_dim(arr, n - 1, axis, keepdims=False)
+        core = lax.slice_in_dim(arr, 1, n - 1, axis=axis)
+        idx0 = [slice(None)] * core.ndim
+        idx0[axis] = 0
+        idxl = [slice(None)] * core.ndim
+        idxl[axis] = core.shape[axis] - 1
+        core = core.at[tuple(idx0)].add(first)
+        core = core.at[tuple(idxl)].add(last)
+        return core
+
+    gzb = collapse(2, collapse(1, gzb))  # (S+1, res, res)
+    boundary = jnp.where(first_dev, 0.0, gzb[0])
+    gvox = gzb[1:]
+    gvox = gvox.at[0].add(jnp.where(first_dev, gzb[0], 0.0))
+    return gvox, boundary
+
+
 def _local_fetch(slab, z0, S, res, h, x, mask):
     """Row gather restricted to the held slab.
 
@@ -95,6 +193,261 @@ def _local_fetch(slab, z0, S, res, h, x, mask):
     m = in_slab if mask is None else (mask & in_slab)
     vals = jnp.where(m[:, None], vals, 0.0)
     return vals, w0, local, in_slab
+
+
+def make_slab_trace_zsharded(mesh: Mesh, h: float, ds: float, res: int,
+                             inner_steps: int | None = None,
+                             phase_slack: int = 2, variant: str = "plain"):
+    """Differentiable slab-sharded trace built from Z-SHARDED voxel data.
+
+    The production >HBM path (VERDICT r4 #4): ``traced(rif_z, x, v)`` (or
+    ``traced(rif_z, x, v, pln_o, pln_d)`` for ``variant='plane'``) where
+    ``rif_z = pad_rif_z(rif, ndev)`` is sharded P('rays', None, None) along
+    z.  Each device builds ONLY its own cell-table slab from its local
+    voxel rows plus a one-plane halo ppermute — no device ever holds the
+    full cell table, the full voxel grid, or the full gradient
+    (tests/test_slabs.py asserts the compiled per-device footprint).  The
+    returned gradient is z-sharded like ``rif_z``; differentiating through
+    :func:`pad_rif_z` folds the padded rows into the boundary plane.
+
+    Ring semantics are those of :func:`make_slab_trace` (same inner loops);
+    lanes that exhaust the phase budget (``phase_slack`` extra ring
+    revolutions) are NaN-poisoned so truncation fails loudly instead of
+    silently returning a short trace (ADVICE r4)."""
+    ndev = mesh.devices.size
+    steps_f = E.max_steps_fwd(res, h, ds)
+    steps_b = E.max_steps_bwd(res, h, ds)
+    S = slab_rows(res + 1, ndev)
+    K = inner_steps or max(int(S * float(h) / float(ds)) * 2, 8)
+    ray_spec = P("rays", None)
+    rif_spec = P("rays", None, None)
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    perm_back = [(i, (i - 1) % ndev) for i in range(ndev)]
+    plane = variant == "plane"
+    if variant not in ("plain", "plane"):  # pragma: no cover
+        raise ValueError(variant)
+
+    def _phases(max_steps):
+        return ndev * (-(-max_steps // K) + phase_slack)
+
+    def _slab_here(rif_local):
+        me = lax.axis_index("rays")
+        halo = lax.ppermute(rif_local[-1], "rays", perm)
+        return _build_local_slab(rif_local, halo, me == 0, res, S)
+
+    def _cur_inside(dummy, x2, po, pd):
+        inb = G.inbounds(dummy, x2)
+        if not plane:
+            return inb
+        past = jnp.einsum("nd,nd->n", x2 - po, pd) > 0
+        return inb & ~past
+
+    def _fwd_local(rif_local, x, v, *pln):
+        slab = _slab_here(rif_local)
+        po, pd = pln if plane else (None, None)
+        dummy = GridField(jnp.zeros((res,) * 3, x.dtype), h)
+        dsx = jnp.asarray(ds, dtype=x.dtype)
+        me = lax.axis_index("rays").astype(jnp.int32)
+
+        inside0 = G.inbounds(dummy, x)
+        esc0 = jnp.zeros_like(inside0)
+        cnt0 = lax.pcast(jnp.zeros(x.shape[0], jnp.int32), "rays",
+                         to="varying")
+
+        def inner(s):
+            slab, z0, x, v, xt, vt, inside, esc, cnt = s
+
+            def body(_, t):
+                x, v, xt, vt, inside, esc, cnt = t
+                vals, w0, _, in_slab = _local_fetch(
+                    slab, z0, S, res, h, x, inside)
+                act = in_slab & ~esc & (cnt < steps_f)
+                nv, nx = CT.eval_grad_from(vals, w0, h)
+                v2 = v + (dsx * nv)[:, None] * nx
+                x2 = x + dsx * v2
+                cur_inside = _cur_inside(dummy, x2, po, pd)
+                cross = inside & ~cur_inside
+                esc2 = esc | cross | G.escaped(dummy, x2, v2)
+                xt2 = _where3(cross, x2, xt)
+                vt2 = _where3(cross, v2, vt)
+                x = _where3(act, x2, x)
+                v = _where3(act, v2, v)
+                xt = _where3(act, xt2, xt)
+                vt = _where3(act, vt2, vt)
+                inside = jnp.where(act, cur_inside, inside)
+                esc = jnp.where(act, esc2, esc)
+                cnt = cnt + act.astype(jnp.int32)
+                return (x, v, xt, vt, inside, esc, cnt)
+
+            out = lax.fori_loop(0, K, body,
+                                (x, v, xt, vt, inside, esc, cnt))
+            return (slab, z0) + out
+
+        def phase(carry, _):
+            slab, z0, x, v, xt, vt, inside, esc, cnt, done = carry
+            slab, z0, x, v, xt, vt, inside, esc, cnt = lax.cond(
+                done, lambda s: s, inner,
+                (slab, z0, x, v, xt, vt, inside, esc, cnt))
+            slab = lax.ppermute(slab, "rays", perm)
+            z0 = lax.ppermute(z0, "rays", perm)
+            pending = (~esc) & (cnt < steps_f)
+            done = lax.psum(pending.any().astype(jnp.int32), "rays") == 0
+            return (slab, z0, x, v, xt, vt, inside, esc, cnt, done), None
+
+        z0 = me * S
+        (slab, z0, x, v, xt, vt, inside, esc, cnt, _), _ = lax.scan(
+            phase, (slab, z0, x, v, x, v, inside0, esc0, cnt0,
+                    jnp.zeros((), bool)), None, length=_phases(steps_f))
+        # failed-to-exit fixup (tracer.cpp:89-96)
+        xt = _where3(esc, xt, x)
+        # phase-budget exhaustion: a lane still pending here was truncated —
+        # poison it so the caller sees NaNs, not silently-wrong outputs
+        # (ADVICE r4: a ray oscillating across a slab boundary can exhaust
+        # the +phase_slack budget with cnt < max_steps and esc false)
+        pending = (~esc) & (cnt < steps_f)
+        xt = jnp.where(pending[:, None], jnp.nan, xt)
+        vt = jnp.where(pending[:, None], jnp.nan, vt)
+        if plane:
+            return xt, vt, ~esc
+        return xt, vt
+
+    fwd_in = (rif_spec, ray_spec, ray_spec) + (
+        (ray_spec, ray_spec) if plane else ())
+    fwd_sharded = shard_map(
+        _fwd_local, mesh=mesh,
+        in_specs=fwd_in,
+        out_specs=(ray_spec, ray_spec) + ((P("rays"),) if plane else ()),
+    )
+
+    def _bwd_local(rif_local, xt, vt, dxt, dvt):
+        slab = _slab_here(rif_local)
+        dummy = GridField(jnp.zeros((res,) * 3, xt.dtype), h)
+        dsx = jnp.asarray(ds, dtype=xt.dtype)
+        me = lax.axis_index("rays").astype(jnp.int32)
+
+        la0 = dxt
+        mu0 = dvt + dsx * dxt
+        active0 = ~G.escaped(dummy, xt, -vt)
+        gslab0 = jnp.zeros_like(slab)
+        cnt0 = lax.pcast(jnp.zeros(xt.shape[0], jnp.int32), "rays",
+                         to="varying")
+
+        def inner(s):
+            slab, gslab, z0, x, v, la, mu, active, cnt = s
+
+            def body(_, t):
+                x, v, la, mu, active, cnt, gslab = t
+                xr = x - dsx * v
+                xe = G.snap_to_nodes(xr, h)
+                inb = G.inbounds(dummy, xe)
+                vals, w0, local, in_slab = _local_fetch(
+                    slab, z0, S, res, h, xe, active & inb)
+                act = in_slab & active & (cnt < steps_b)
+                nv, nx = CT.eval_grad_from(vals, w0, h)
+                hess = CT.eval_hess_from(vals, w0, h)
+                v2 = v - (dsx * nv)[:, None] * nx
+                active2 = act & ~G.escaped(dummy, xe, -v2)
+
+                dn = jnp.einsum("nd,nd->n", mu, nx)
+                dnx = nv[:, None] * mu
+                contrib = CT.splat_rows(w0, dn * dsx, dnx * dsx, h,
+                                        mask=act & active2 & inb)
+                gslab = gslab.at[local].add(
+                    jnp.where(act[:, None], contrib, 0.0),
+                    mode="promise_in_bounds")
+
+                la2 = la + dsx * (dn[:, None] * nx
+                                  + nv[:, None] * G.hess_matvec(hess, mu))
+                mu2 = mu + dsx * la2
+                x = _where3(act, xr, x)
+                v = _where3(act, v2, v)
+                la = _where3(act, la2, la)
+                mu = _where3(act, mu2, mu)
+                active = jnp.where(act, active2, active)
+                cnt = cnt + act.astype(jnp.int32)
+                return (x, v, la, mu, active, cnt, gslab)
+
+            x, v, la, mu, active, cnt, gslab = lax.fori_loop(
+                0, K, body, (x, v, la, mu, active, cnt, gslab))
+            return (slab, gslab, z0, x, v, la, mu, active, cnt)
+
+        def phase(carry, _):
+            (slab, gslab, z0, x, v, la, mu, active, cnt, done) = carry
+            slab, gslab, z0, x, v, la, mu, active, cnt = lax.cond(
+                done, lambda s: s, inner,
+                (slab, gslab, z0, x, v, la, mu, active, cnt))
+            slab = lax.ppermute(slab, "rays", perm)
+            gslab = lax.ppermute(gslab, "rays", perm)
+            z0 = lax.ppermute(z0, "rays", perm)
+            pending = active & (cnt < steps_b)
+            done = lax.psum(pending.any().astype(jnp.int32), "rays") == 0
+            return (slab, gslab, z0, x, v, la, mu, active, cnt, done), None
+
+        z0 = me * S
+        nphase = _phases(steps_b)
+        (slab, gslab, z0, x, v, la, mu, active, cnt, _), _ = lax.scan(
+            phase, (slab, gslab0, z0, xt, vt, la0, mu0, active0, cnt0,
+                    jnp.zeros((), bool)), None, length=nphase)
+        for _ in range((-nphase) % ndev):
+            gslab = lax.ppermute(gslab, "rays", perm)
+        # truncated adjoint sweep -> poison the gradient loudly (ADVICE r4)
+        pending = active & (cnt < steps_b)
+        bad = lax.psum(pending.any().astype(jnp.int32), "rays") > 0
+        gslab = gslab + jnp.where(bad, jnp.nan, 0.0)
+
+        gvox, boundary = _fold_local_slab_grad(gslab, me == 0, res, S)
+        recv = lax.ppermute(boundary, "rays", perm_back)
+        # device d receives the boundary contribution of device d+1, which
+        # belongs to d's LAST voxel row (global row z0(d+1)-1 = z0(d)+S-1);
+        # the wrap-around receive on the last device is device 0's
+        # boundary, which device 0 already folded into its own row 0 (it
+        # sends zeros there), so the add is a no-op by construction
+        gvox = gvox.at[-1].add(recv)
+        return gvox
+
+    bwd_sharded = shard_map(
+        _bwd_local, mesh=mesh,
+        in_specs=(rif_spec, ray_spec, ray_spec, ray_spec, ray_spec),
+        out_specs=rif_spec,
+    )
+
+    if plane:
+        @jax.custom_vjp
+        def traced(rif_z, x, v, po, pd):
+            return fwd_sharded(rif_z, x, v, po, pd)
+
+        def traced_fwd(rif_z, x, v, po, pd):
+            out = fwd_sharded(rif_z, x, v, po, pd)
+            xt, vt, miss = out
+            return out, (rif_z, xt, vt, miss, po, pd)
+
+        def traced_bwd(res_ck, cts):
+            rif_z, xt, vt, miss, po, pd = res_ck
+            dxt, dvt, _ = cts
+            dxt = jnp.where(miss[:, None], 0.0, dxt)
+            g = bwd_sharded(rif_z, xt, vt, dxt, dvt)
+            z = jnp.zeros_like(xt)
+            return g, z, z, jnp.zeros_like(po), jnp.zeros_like(pd)
+
+        traced.defvjp(traced_fwd, traced_bwd)
+        return traced
+
+    @jax.custom_vjp
+    def traced(rif_z, x, v):
+        return fwd_sharded(rif_z, x, v)
+
+    def traced_fwd(rif_z, x, v):
+        out = fwd_sharded(rif_z, x, v)
+        return out, (rif_z, out[0], out[1])
+
+    def traced_bwd(res_ck, cts):
+        rif_z, xt, vt = res_ck
+        dxt, dvt = cts
+        g = bwd_sharded(rif_z, xt, vt, dxt, dvt)
+        return g, jnp.zeros_like(xt), jnp.zeros_like(vt)
+
+    traced.defvjp(traced_fwd, traced_bwd)
+    return traced
 
 
 def make_slab_trace(mesh: Mesh, h: float, ds: float, res: int,
@@ -176,6 +529,12 @@ def make_slab_trace(mesh: Mesh, h: float, ds: float, res: int,
                     jnp.zeros((), bool)), None, length=_phases(steps_f))
         # failed-to-exit fixup (tracer.cpp:89-96)
         xt = _where3(esc, xt, x)
+        # phase-budget exhaustion -> NaN-poison, never silent truncation
+        # (ADVICE r4: slab-boundary oscillation can exhaust the +2
+        # revolutions with cnt < max_steps and esc false)
+        pending = (~esc) & (cnt < steps_f)
+        xt = jnp.where(pending[:, None], jnp.nan, xt)
+        vt = jnp.where(pending[:, None], jnp.nan, vt)
         return xt, vt
 
     fwd_sharded = shard_map(
@@ -250,13 +609,17 @@ def make_slab_trace(mesh: Mesh, h: float, ds: float, res: int,
 
         z0 = me * S
         nphase = _phases(steps_b)
-        (slab, gslab, z0, *_), _ = lax.scan(
+        (slab, gslab, z0, x2, v2, la, mu, active, cnt, _), _ = lax.scan(
             phase, (slab, gslab0, z0, xt, vt, la0, mu0, active0, cnt0,
                     jnp.zeros((), bool)), None, length=nphase)
         # slab d's grad sits on device (d + nphase) % ndev; rotate the
         # remaining hops so it lands back on device d (out spec P('rays'))
         for _ in range((-nphase) % ndev):
             gslab = lax.ppermute(gslab, "rays", perm)
+        # truncated adjoint sweep -> poison the gradient loudly (ADVICE r4)
+        pending = active & (cnt < steps_b)
+        bad = lax.psum(pending.any().astype(jnp.int32), "rays") > 0
+        gslab = gslab + jnp.where(bad, jnp.nan, 0.0)
         return gslab[None]
 
     bwd_sharded = shard_map(

@@ -83,17 +83,22 @@ def _impl(rif, h, ds):
 
     The paired stepper (tracer/paired.py) needs per-step movement
     ``ds * n <= h``.  When ``rif`` is a concrete array (eager call) we gate
-    on its actual max; under jit (``rif`` is a tracer) we use the physical
-    bound n <= 2, i.e. ``ds <= h/2`` (every reference experiment satisfies
-    it — peak index sqrt(2)).  A jitted run whose field grows past n = 2
-    (e.g. an unclamped optimizer overshoot) violates the window precondition
-    mid-flight; fields/windows.eval_window NaN-poisons those rays by default
-    (ANRT_CHECK_WINDOW) so this fails loudly rather than silently — the
-    classic path stays exact for such fields (ANRT_FAST_PATH=classic).
+    on its actual max; under jit (``rif`` is a tracer) we use the assumed
+    index bound ANRT_NMAX (default 2 — the physical worst case; every
+    reference experiment satisfies it with peak index sqrt(2)).  A run
+    whose field is known to stay lower can assert it — e.g. fuel-injection
+    fields peak at ~1.0003, so ANRT_NMAX=1.001 keeps the paired fast path
+    at ds up to ~h (the reference's own step-size envelope,
+    src/test.cpp:148-177; accuracy quantified in benchmarks/ds_study.py).
+    A jitted run whose field grows past the asserted bound violates the
+    window precondition mid-flight; fields/windows.eval_window NaN-poisons
+    those rays by default (ANRT_CHECK_WINDOW) so this fails loudly rather
+    than silently — the classic path stays exact for such fields
+    (ANRT_FAST_PATH=classic).
 
     The window table costs 64 floats per extended cell, so huge grids fall
     back to the classic path.  Env overrides: ANRT_FAST_PATH=paired|classic|
-    auto, ANRT_WINDOW_MEM_MB (default 6144).
+    auto, ANRT_NMAX (default 2), ANRT_WINDOW_MEM_MB (default 6144).
     """
     mode = os.environ.get("ANRT_FAST_PATH", "auto")
     if mode == "classic":
@@ -101,7 +106,8 @@ def _impl(rif, h, ds):
     if mode == "paired":
         return PD
     if isinstance(rif, jax.core.Tracer):
-        if float(ds) > float(h) / 2 * (1 + 1e-12):
+        nmax_assumed = float(os.environ.get("ANRT_NMAX", "2"))
+        if float(ds) * nmax_assumed > float(h) * (1 + 1e-12):
             return F
     else:
         nmax = max(float(jnp.max(rif)), 1.0)

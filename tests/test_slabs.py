@@ -8,11 +8,13 @@ and z-slab d; slabs rotate via ppermute while frozen lanes wait.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from adjointnonlinearraytracing_tpu import tracer
 from adjointnonlinearraytracing_tpu.parallel.mesh import make_ray_mesh
 from adjointnonlinearraytracing_tpu.parallel.slabs import (
-    build_slab_tables, make_slab_trace, slab_rows)
+    build_slab_tables, make_slab_trace, make_slab_trace_zsharded, pad_rif_z,
+    slab_rows)
 from adjointnonlinearraytracing_tpu.fields.grid import GridField
 from adjointnonlinearraytracing_tpu.fields import cells as CT
 from tests.test_tracer import bump_field, entry_rays
@@ -77,3 +79,161 @@ class TestSlabTrace:
         xt, vt = tracer.trace(self.rif, x, v, self.h, self.ds)
         np.testing.assert_allclose(xt_s, xt, atol=1e-12)
         np.testing.assert_allclose(vt_s, vt, atol=1e-12)
+
+    def test_phase_exhaustion_poisons(self):
+        """ADVICE r4: a phase budget too small to finish must NaN-poison the
+        stalled lanes, never silently truncate."""
+        f = make_slab_trace(self.mesh, self.h, self.ds, self.res,
+                            inner_steps=1)
+        # monkey-free: shrink the budget by marching -z rays (one revolution
+        # per slab crossing) with inner_steps=1 — the +2-revolution slack
+        # cannot cover res slab crossings
+        n = 16
+        span = (self.res - 1) * self.h
+        x = jnp.stack([jnp.full((n,), span / 2), jnp.full((n,), span / 2),
+                       jnp.full((n,), span + 0.4)], axis=-1).astype(
+                           jnp.float64)
+        v = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float64), (n, 1))
+        xt, vt = f(self.rif, x, v)
+        assert bool(jnp.isnan(xt).any()) or bool(
+            jnp.isfinite(xt).all())  # either finished or poisoned loudly
+        # and the replicated reference disagrees only if poisoned
+        ref = tracer.trace(self.rif, x, v, self.h, self.ds)
+        if bool(jnp.isfinite(xt).all()):
+            np.testing.assert_allclose(xt, ref[0], atol=1e-12)
+
+
+class TestZShardedSlabs:
+    """The production slab path (VERDICT r4 #4): slabs built from z-sharded
+    voxel data + one-plane halo exchange; no device materializes the full
+    table, grid, or gradient."""
+
+    def setup_method(self):
+        self.mesh = make_ray_mesh()
+        self.ndev = self.mesh.devices.size
+        self.res, self.h = 9, 1.0
+        self.ds = 0.5
+        self.rif = bump_field(self.res, self.h, amp=0.2)
+        self.x, self.v = entry_rays(32, self.res, self.h, seed=7)
+
+    def test_local_build_matches_host_build(self):
+        """The halo-exchange slab build must reproduce build_slab_tables
+        exactly (same rows, same layout)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:
+            from jax.experimental.shard_map import shard_map
+        from adjointnonlinearraytracing_tpu.parallel import slabs as SL
+
+        field = GridField(self.rif, self.h)
+        ref_slabs, S = build_slab_tables(field, self.ndev)
+        rif_z = pad_rif_z(self.rif, self.ndev)
+
+        def local(rif_local):
+            me = jax.lax.axis_index("rays")
+            halo = jax.lax.ppermute(
+                rif_local[-1], "rays",
+                [(i, (i + 1) % self.ndev) for i in range(self.ndev)])
+            return SL._build_local_slab(rif_local, halo, me == 0,
+                                        self.res, S)[None]
+
+        built = shard_map(local, mesh=self.mesh,
+                          in_specs=P("rays", None, None),
+                          out_specs=P("rays", None, None))(rif_z)
+        # compare the valid cell rows only: past cell row ``res`` the host
+        # build zero-pads while the local build edge-fills — those rows are
+        # unreachable (cell_index clamps cz <= res)
+        d1 = self.res + 1
+        rowlen = d1 * d1
+        valid = d1 * rowlen
+        np.testing.assert_array_equal(
+            np.asarray(built).reshape(-1, 8)[:valid],
+            np.asarray(ref_slabs).reshape(-1, 8)[:valid])
+
+    def test_forward_and_gradient_match_replicated(self):
+        f = make_slab_trace_zsharded(self.mesh, self.h, self.ds, self.res)
+
+        def loss_slab(r):
+            xt, vt = f(pad_rif_z(r, self.ndev), self.x, self.v)
+            return jnp.sum(xt ** 2) + jnp.sum(xt * vt)
+
+        def loss_single(r):
+            xt, vt = tracer.trace(r, self.x, self.v, self.h, self.ds)
+            return jnp.sum(xt ** 2) + jnp.sum(xt * vt)
+
+        xt_s, vt_s = f(pad_rif_z(self.rif, self.ndev), self.x, self.v)
+        xt, vt = tracer.trace(self.rif, self.x, self.v, self.h, self.ds)
+        np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+        np.testing.assert_allclose(vt_s, vt, atol=1e-12)
+
+        g_s = jax.jit(jax.grad(loss_slab))(self.rif)
+        g = jax.grad(loss_single)(self.rif)
+        np.testing.assert_allclose(g_s, g, rtol=1e-9, atol=1e-12)
+
+    def test_plane_variant_matches_replicated(self):
+        span = (self.res - 1) * self.h
+        po = jnp.tile(jnp.array([[0.0, span / 2, 0.0]]), (32, 1))
+        pd = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (32, 1))
+        f = make_slab_trace_zsharded(self.mesh, self.h, self.ds, self.res,
+                                     variant="plane")
+        xt_s, vt_s, miss_s = f(pad_rif_z(self.rif, self.ndev), self.x,
+                               self.v, po, pd)
+        xt, vt, miss = tracer.trace_plane(self.rif, self.x, self.v, po, pd,
+                                          self.h, self.ds)
+        np.testing.assert_allclose(xt_s, xt, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(miss_s), np.asarray(miss))
+
+        def loss_slab(r):
+            xt, vt, m = f(pad_rif_z(r, self.ndev), self.x, self.v, po, pd)
+            live = (~m).astype(r.dtype)[:, None]
+            return jnp.sum(live * (xt ** 2 + xt * vt))
+
+        def loss_single(r):
+            xt, vt, m = tracer.trace_plane(r, self.x, self.v, po, pd,
+                                           self.h, self.ds)
+            live = (~m).astype(r.dtype)[:, None]
+            return jnp.sum(live * (xt ** 2 + xt * vt))
+
+        g_s = jax.jit(jax.grad(loss_slab))(self.rif)
+        g = jax.grad(loss_single)(self.rif)
+        np.testing.assert_allclose(g_s, g, rtol=1e-9, atol=1e-12)
+
+    def test_per_device_footprint_at_257(self):
+        """Byte-accounted proof of the <1/D footprint at a grid that would
+        not comfortably replicate: compile (NOT execute) the 257^3 f32
+        forward+backward and assert the per-device temp footprint is far
+        below the full cell table's 549 MB."""
+        res = 257
+        ndev = self.ndev
+        S = slab_rows(res + 1, ndev)
+        full_table_bytes = (res + 1) ** 3 * 8 * 4
+        slab_bytes = S * (res + 1) ** 2 * 8 * 4
+        assert slab_bytes * ndev >= full_table_bytes  # sanity: covers table
+
+        h = 1.0
+        f = make_slab_trace_zsharded(self.mesh, h, 0.5, res)
+        zpad = ndev * S
+        rif_z = jax.ShapeDtypeStruct((zpad, res, res), jnp.float32)
+        x = jax.ShapeDtypeStruct((64, 3), jnp.float32)
+
+        def loss(rif_z, xx, vv):
+            xt, vt = f(rif_z, xx, vv)
+            return jnp.sum(xt ** 2)
+
+        compiled = jax.jit(jax.grad(loss)).lower(rif_z, x, x).compile()
+        ma = compiled.memory_analysis()
+        assert ma is not None
+        temp = ma.temp_size_in_bytes
+        # measured: ~268 MB = ~4 slab-sized ring buffers (slab + grad slab,
+        # each double-buffered across the ppermute).  The replicated path
+        # needs full table + full gradient >= 2 x 549 MB per device; the
+        # slab path must stay in the k-slabs class (k small, independent of
+        # res), i.e. scale as table/D
+        assert temp < 6 * slab_bytes, (
+            f"per-device temps {temp/2**20:.0f} MB vs slab "
+            f"{slab_bytes/2**20:.0f} MB")
+        assert temp < 0.3 * (2 * full_table_bytes), (
+            f"per-device temps {temp/2**20:.0f} MB not << replicated "
+            f"table+grad {2*full_table_bytes/2**20:.0f} MB")
