@@ -43,7 +43,7 @@ def masked_sum_sq(diff, mask):
 
 
 def make_trace(vol_span, ds, autodiff=False, use_mesh=False, res=None,
-               gradient=None, seg=32):
+               gradient=None, seg=32, probe_rays=None):
     """Volume trace closure: h is derived from the *current* grid resolution
     (luneburg_opt.py:85-89) while ds stays fixed from the finest one.
 
@@ -57,11 +57,25 @@ def make_trace(vol_span, ds, autodiff=False, use_mesh=False, res=None,
         flips the mode to "exact" when adjoint drift exceeds tolerance; the
         next stage's jit retrace picks it up)
     ``autodiff=True`` is the reference-style alias for "ad".
+
+    ``probe_rays``: a concrete (x, v) sample of the run's source — enables
+    exit-step compaction by default when the source's chord spread exceeds
+    the measured win threshold (VERDICT r4 #8; +49% on spread-chord rig
+    scenes, pallas/README.md).  ANRT_BUCKETED overrides in both directions.
     """
     if gradient is None:
         gradient = "ad" if autodiff else "adjoint"
     the_mesh = pmesh.make_ray_mesh() if use_mesh else None
     cache = {}
+    env_buckets = os.environ.get("ANRT_BUCKETED")
+    if env_buckets is not None:
+        default_buckets = int(env_buckets)
+    elif probe_rays is not None:
+        default_buckets = compaction.auto_buckets(
+            vol_span, jnp.asarray(probe_rays[0]), jnp.asarray(probe_rays[1]),
+            ds)
+    else:
+        default_buckets = 0
 
     def _pad_call(fn, nt, x, v):
         # pad the ray axis to the device count with COPIES of ray 0:
@@ -93,7 +107,7 @@ def make_trace(vol_span, ds, autodiff=False, use_mesh=False, res=None,
                         the_mesh, h, ds, max(nt.shape), seg=seg)
                 return _pad_call(cache[key], nt, x, v)
             return tracer.trace_exact(nt, x, v, h, ds, seg)
-        nbuckets = int(os.environ.get("ANRT_BUCKETED", "0"))
+        nbuckets = default_buckets
         if nbuckets > 1 and the_mesh is None:
             # exit-step compaction (tracer/compaction.py): same outputs and
             # gradients, +49% measured on spread-chord rig scenes, no gain on

@@ -128,8 +128,12 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
         f"{result_dir}/metrics.jsonl" if result_dir else None,
         append=params.get("resume_from") is not None)
     grad_holder = {"mode": params.get("gradient")}
+    _probe, _, _ = _gen_start_rays(
+        jax.random.PRNGKey(seed + 779), src_type, nbins, 1, span, angle_s,
+        src_angle, dtype)
     trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
-                              gradient=grad_holder)
+                              gradient=grad_holder,
+                              probe_rays=(_probe.x[:4096], _probe.v[:4096]))
 
     def loss_function(eta, key):
         rays, _, _ = _gen_start_rays(key, src_type, nbins, spp, span, angle_s,

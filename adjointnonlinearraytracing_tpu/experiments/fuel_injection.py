@@ -101,8 +101,6 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
         return rays, rpv
 
     grad_holder = {"mode": params.get("gradient")}
-    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
-                              gradient=grad_holder)
 
     # measurement rays are FIXED across the optimization (fuel_injection_opt
     # traces the GT once, :85-86).  Materialize them to host numpy so the
@@ -112,6 +110,9 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
     import numpy as _np
 
     rays, rpv = gen_start_rays(jax.random.PRNGKey(seed), spp)
+    trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
+                              gradient=grad_holder,
+                              probe_rays=(rays.x[:4096], rays.v[:4096]))
     x_gt, v_gt = trace(gtruth, rays.x, rays.v)
     x_gt, v_gt = sensors.trace_rays_to_plane(
         (x_gt, v_gt), (rays.planes[:, 0, :], rays.planes[:, 1, :]))
@@ -120,6 +121,26 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
     rays = S.Rays(_np.asarray(rays.x), _np.asarray(rays.v),
                   _np.asarray(rays.planes), _np.asarray(rays.mask))
 
+    # optional smoothness prior (VERDICT r4 #6: the control experiment for
+    # the "rel_norm 0.271 is the measurement-model floor" claim).  The
+    # penalty acts on the signal-scaled deviation e = (eta - 1)/fuel_val so
+    # reg_weight is amplitude-independent.  reg='tv' is (smoothed)
+    # anisotropic total variation; reg='h1' is the quadratic gradient norm.
+    reg_weight = float(params.get("reg_weight", 0.0))
+    reg_kind = params.get("reg", "tv")
+
+    def regularizer(eta):
+        e = (eta - 1.0) / fuel_val
+        dz = e[1:] - e[:-1]
+        dy = e[:, 1:] - e[:, :-1]
+        dx = e[:, :, 1:] - e[:, :, :-1]
+        if reg_kind == "h1":
+            return jnp.mean(dz ** 2) + jnp.mean(dy ** 2) + jnp.mean(dx ** 2)
+        eps = 1e-6
+        return (jnp.mean(jnp.sqrt(dz ** 2 + eps))
+                + jnp.mean(jnp.sqrt(dy ** 2 + eps))
+                + jnp.mean(jnp.sqrt(dx ** 2 + eps)))
+
     def loss_function(eta, key):
         xm, vm = trace(eta, rays.x, rays.v)
         sn = rays.planes[:, 1, :]
@@ -127,7 +148,10 @@ def run_opt(params: Dict, result_dir: Optional[str] = None, gtruth=None):
         xmp, vmp = sensors.trace_rays_to_plane((xm, vm), (sp, sn))
         disp_loss = common.masked_mean_sq(xmp - x_gt, rays.mask) / 3.0
         defl_loss = common.masked_mean_sq(vmp - v_gt, rays.mask) / 3.0
-        return (disp_loss + defl_weight * defl_loss) / fuel_val
+        loss = (disp_loss + defl_weight * defl_loss) / fuel_val
+        if reg_weight:
+            loss = loss + reg_weight * regularizer(eta)
+        return loss
 
     def log_function(iter_count, eta):
         metrics.log(iter_count, res=eta.shape[0])

@@ -139,8 +139,11 @@ def multires_exp(params: Dict, result_dir: Optional[str] = None):
         return rays, rpv, tpv.astype(dtype)
 
     grad_holder = {"mode": params.get("gradient")}
+    _probe, _, _ = gen_start_rays(jax.random.PRNGKey(
+        params.get("seed", 0) + 779), 1)
     trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
-                              gradient=grad_holder)
+                              gradient=grad_holder,
+                              probe_rays=(_probe.x[:4096], _probe.v[:4096]))
 
     def view_images(eta, key, samples):
         rays, rpv, tpv = gen_start_rays(key, samples)

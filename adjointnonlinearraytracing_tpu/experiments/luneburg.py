@@ -85,8 +85,11 @@ def run_opt(params: Dict, result_dir: Optional[str] = None):
         return rays, nrays
 
     grad_holder = {"mode": params.get("gradient")}
+    _probe, _ = gen_start_rays(jax.random.PRNGKey(
+        params.get("seed", 0) + 779), 1)
     trace = common.make_trace(vol_span, ds, autodiff=autodiff, use_mesh=use_mesh,
-                              gradient=grad_holder)
+                              gradient=grad_holder,
+                              probe_rays=(_probe.x[:4096], _probe.v[:4096]))
 
     def loss_function(eta, key):
         rays, _ = gen_start_rays(key, spp)

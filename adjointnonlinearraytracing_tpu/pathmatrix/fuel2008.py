@@ -52,11 +52,56 @@ def trace_back_to_cube(xt, vt, span):
     return xt - t[:, None] * vt
 
 
+def record_paths(gtruth, x, v, h, ds, stride=8):
+    """Record per-ray trajectories every ``stride`` steps for the 'true'
+    path-matrix mode (reference path_matrix.py true-path option,
+    run_fuel_injection_2008.py:230-255 commented variants).
+
+    Returns (path (nrec*N, 3) float32, nrec): path[k*N + i] is ray i's
+    position after k*stride steps — the flattened layout
+    :func:`path_matrix.get_true_path` indexes."""
+    from jax import lax
+
+    from ..fields import grid as G
+    from ..fields.grid import GridField
+    from ..tracer import eikonal as E
+
+    field = GridField(gtruth, h)
+    steps = E.max_steps_fwd(max(gtruth.shape), h, ds)
+    nrec = steps // stride + 1
+    dsx = jnp.asarray(ds, dtype=x.dtype)
+    inside0 = G.inbounds(field, x)
+
+    def outer(carry, _):
+        x, v, inside = carry
+
+        def inner(_, t):
+            x, v, inside = t
+            n, nx = G.eval_grad(field, x, inside)
+            v2 = v + (dsx * n)[:, None] * nx
+            x2 = x + dsx * v2
+            return (x2, v2, G.inbounds(field, x2))
+
+        x, v, inside = lax.fori_loop(0, stride, inner, (x, v, inside))
+        return (x, v, inside), x
+
+    (xf, vf, _), xs = lax.scan(outer, (x, v, inside0), None,
+                               length=nrec - 1)
+    path = jnp.concatenate([x[None], xs], axis=0)  # (nrec, N, 3)
+    return np.asarray(path, dtype=np.float32).reshape(-1, 3), nrec
+
+
 def fuel_reconstruction(gtruth: jnp.ndarray, params: Optional[Dict] = None):
     """Run the 2008 pipeline on a GT index volume.  Returns (recon, report).
 
     gtruth: (res, res, res) refractive-index field on span [0, vol_span].
-    """
+
+    ``spline`` selects the path model (reference path_matrix.py:230-255):
+    'linear' (2008 baseline), 'hermite' (entry/exit cubic), or 'true'
+    (recorded trajectories, ``path_stride`` steps apart).  ``angle_span`` /
+    ``sensor_dist_frac`` expose the reference driver's acquisition geometry
+    (run_fuel_injection_2008.py:92: 180 deg half-circle, sensors at
+    1.4*span)."""
     p = dict(
         vol_span=1.0,
         nviews=16,
@@ -67,6 +112,10 @@ def fuel_reconstruction(gtruth: jnp.ndarray, params: Optional[Dict] = None):
         int_res=175,
         damp=0.0,           # gradient LSQR damp (reference: 0.000, :196)
         damp_int=1e-4,      # integration damp (reference: 0.0001, :210)
+        spline="linear",
+        path_stride=8,
+        angle_span=360,
+        sensor_dist_frac=1.0,
         seed=0,
     )
     if params:
@@ -84,12 +133,18 @@ def fuel_reconstruction(gtruth: jnp.ndarray, params: Optional[Dict] = None):
     # 1) GT rays traced with the nonlinear tracer (forward only)
     rays, _ = S.rand_rays_in_sphere(
         jax.random.PRNGKey(p["seed"]), p["nviews"], (p["nbins"], p["nbins"]),
-        p["spp"], span, circle=False, sensor_dist=1.0)
+        p["spp"], span, circle=False, angle_span=p["angle_span"],
+        sensor_dist=p["sensor_dist_frac"] * span)
     x0 = np.asarray(rays.x, dtype=np.float64)
     v0 = np.asarray(rays.v, dtype=np.float64)
     xt, vt = tracer.trace(gtruth, rays.x, rays.v, h, ds)
     xt = np.asarray(xt, dtype=np.float64)
     vt = np.asarray(vt, dtype=np.float64)
+    path_buf = None
+    if p["spline"] == "true":
+        pb, nrec = record_paths(gtruth, rays.x, rays.v, h, ds,
+                                p["path_stride"])
+        path_buf = (pb, nrec)
     report["trace_time"] = time.time() - t0
 
     # normalize: the tracer's |v| grows with n; deflection compares directions
@@ -105,11 +160,28 @@ def fuel_reconstruction(gtruth: jnp.ndarray, params: Optional[Dict] = None):
     dv = (vtn - v0n)[good]
     report["num_rays"] = int(good.sum())
 
-    # 3) path matrix (linear paths between entry/exit)
+    # 3) path matrix (linear / hermite / recorded paths)
     t1 = time.time()
+    path_arg = None
+    if path_buf is not None:
+        pb, nrec = path_buf
+        n_all = len(good)
+        # per-ray first/last recorded sample inside the cube
+        pts = pb.reshape(nrec, n_all, 3)
+        inside = np.all((pts >= 0) & (pts <= span), axis=-1)  # (nrec, N)
+        any_in = inside.any(axis=0)
+        first = np.argmax(inside, axis=0)
+        last = nrec - 1 - np.argmax(inside[::-1], axis=0)
+        first = np.where(any_in, first, 0)
+        last = np.where(any_in, np.maximum(last, first), 0)
+        # reindex the flattened buffer to the kept rays
+        keep = np.where(good)[0]
+        pb_kept = pts[:, keep, :].reshape(-1, 3).astype(np.float64)
+        path_arg = (pb_kept, first[keep].astype(float),
+                    last[keep].astype(float))
     phi = PM.construct_voxel_matrix(sp_, v0n[good], ep_, vtn[good],
-                                    span, recon_res, spline="linear",
-                                    int_res=p["int_res"])
+                                    span, recon_res, spline=p["spline"],
+                                    int_res=p["int_res"], path=path_arg)
     report["phi_time"] = time.time() - t1
     report["phi_nnz"] = int(phi.nnz)
 

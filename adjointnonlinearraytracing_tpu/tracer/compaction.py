@@ -60,6 +60,21 @@ def chord_spread(shape, h, x, v, ds):
     return float(p90 / jnp.maximum(p10, 1.0))
 
 
+def auto_buckets(vol_span, x, v, ds, threshold=3.0, k=4):
+    """Default bucket count for a source sample (VERDICT r4 #8).
+
+    Compaction's measured win (+49%, pallas/README.md table) applies to
+    spread-chord rig sources; uniform-chord scenes see no gain and 8
+    buckets over-fragment.  This gates k=4 on the p90/p10 chord spread of a
+    CONCRETE probe batch (host-side, at trace-closure build time).  The
+    spread is a ratio, so any cubic volume of extent ``vol_span`` gives the
+    same answer regardless of resolution.  ANRT_BUCKETED still overrides in
+    both directions.
+    """
+    spread = chord_spread((2, 2, 2), vol_span, x, v, ds)
+    return k if spread >= threshold else 0
+
+
 def trace_bucketed(rif, x, v, h, ds, nbuckets: int = 4):
     """``tracer.trace`` with exit-step compaction; same outputs/gradients.
 

@@ -69,17 +69,28 @@ else:
 LR = float(os.environ.get("NS_LR", "1e-4"))
 ERR_EVERY = int(os.environ.get("NS_ERR_EVERY", "20"))
 DS_MODE = os.environ.get("NS_DS_MODE", "stage")  # stage | final
+# NS_TV > 0 adds the smoothness prior on the signal-scaled deviation
+# (experiments/fuel_injection.py regularizer; VERDICT r4 #6 control for the
+# "0.271 is the measurement-model floor" claim).  NS_REG picks tv|h1.
+TV_WEIGHT = float(os.environ.get("NS_TV", "0"))
+REG_KIND = os.environ.get("NS_REG", "tv")
+# NS_DS_ALPHA scales the step size: ds = alpha * h_stage (default 0.5, the
+# repo's historical ds = h/2).  The fuel field peaks at 1+3e-4, so alpha up
+# to ~1.0 stays inside the paired fast path with ANRT_NMAX=1.001; accuracy
+# at alpha=1.0 is quantified in benchmarks/ds_study.py (fuel_weak scene:
+# 1.8e-5 voxel plane error, gradient cos 0.993).
+DS_ALPHA = float(os.environ.get("NS_DS_ALPHA", "0.5"))
 
 os.makedirs(RESULT_DIR, exist_ok=True)
 res_final = STAGES[-1][0]
 h_fin = VOL_SPAN / (res_final - 1)
-ds_fin = h_fin / 2
+ds_fin = h_fin * DS_ALPHA
 
 
 def stage_ds(res):
     if DS_MODE == "final":
         return ds_fin
-    return (VOL_SPAN / (res - 1)) / 2  # = ds_fin at the final stage
+    return (VOL_SPAN / (res - 1)) * DS_ALPHA  # = ds_fin at the final stage
 
 
 gt = upres_volume(voxel_scenes.fuel_injection_rif(FUEL_VAL), (res_final,) * 3)
@@ -98,12 +109,31 @@ nrays = x_all.shape[0]
 nchunks_total = nrays // CHUNK
 assert nrays == NVIEWS * NBINS * NBINS * SPP, nrays
 
+# exit-step compaction, on by default for spread-chord rigs (VERDICT r4 #8;
+# +49% measured on spread-chord scenes, pallas/README.md); ANRT_BUCKETED
+# overrides in both directions
+from adjointnonlinearraytracing_tpu.tracer import compaction  # noqa: E402
+
+if os.environ.get("ANRT_BUCKETED") is not None:
+    NBUCKETS = int(os.environ["ANRT_BUCKETED"])
+else:
+    NBUCKETS = compaction.auto_buckets(
+        VOL_SPAN, jnp.asarray(x_all[:8192]), jnp.asarray(v_all[:8192]),
+        ds_fin)
+print(f"compaction buckets: {NBUCKETS}", flush=True)
+
+
+def _trace(eta, x, v, h, ds):
+    if NBUCKETS > 1:
+        return compaction.trace_bucketed(eta, x, v, h, ds, NBUCKETS)
+    return tracer.trace(eta, x, v, h, ds)
+
 print(f"tracing GT exits for {nrays:,} rays (ds={ds_fin:.5f}) ...", flush=True)
 
 
 @jax.jit
 def gt_trace(eta, x, v, sp, sn):
-    xm, vm = tracer.trace(eta, x, v, h_fin, ds_fin)
+    xm, vm = _trace(eta, x, v, h_fin, ds_fin)
     return sensors.trace_rays_to_plane((xm, vm), (sp, sn))
 
 
@@ -122,15 +152,35 @@ metrics = open(f"{RESULT_DIR}/metrics.jsonl", "a")
 spotchecks = {}
 
 
+def regularizer(eta):
+    """Smoothness prior on the signal-scaled deviation (NS_TV * this is
+    added once per iteration; experiments/fuel_injection.py twin)."""
+    e = (eta - 1.0) / FUEL_VAL
+    dz = e[1:] - e[:-1]
+    dy = e[:, 1:] - e[:, :-1]
+    dx = e[:, :, 1:] - e[:, :, :-1]
+    if REG_KIND == "h1":
+        return jnp.mean(dz ** 2) + jnp.mean(dy ** 2) + jnp.mean(dx ** 2)
+    eps = 1e-6
+    return (jnp.mean(jnp.sqrt(dz ** 2 + eps))
+            + jnp.mean(jnp.sqrt(dy ** 2 + eps))
+            + jnp.mean(jnp.sqrt(dx ** 2 + eps)))
+
+
 def make_chunk_grad(res, ds):
     h = VOL_SPAN / (res - 1)
 
     def chunk_loss(eta, x, v, sp, sn, xg, vg, m):
-        xm, vm = tracer.trace(eta, x, v, h, ds)
+        xm, vm = _trace(eta, x, v, h, ds)
         xmp, vmp = sensors.trace_rays_to_plane((xm, vm), (sp, sn))
         disp = common.masked_mean_sq(xmp - xg, m) / 3.0
         defl = common.masked_mean_sq(vmp - vg, m) / 3.0
-        return (disp + DEFL_WEIGHT * defl) / FUEL_VAL
+        loss = (disp + DEFL_WEIGHT * defl) / FUEL_VAL
+        if TV_WEIGHT:
+            # added per chunk, then the driver divides the SUM by cpi, so
+            # the prior enters the averaged iteration loss exactly once
+            loss = loss + TV_WEIGHT * regularizer(eta)
+        return loss
 
     return jax.jit(jax.value_and_grad(chunk_loss))
 
@@ -227,6 +277,7 @@ report = dict(
     final_loss=float(loss / cpi), reconstruction=err,
     grad_spotcheck_per_stage=spotchecks,
     stages=[list(s) for s in STAGES], lr=LR, ds_mode=DS_MODE,
+    ds_alpha=DS_ALPHA, tv_weight=TV_WEIGHT, reg=REG_KIND, nbuckets=NBUCKETS,
 )
 with open(f"{RESULT_DIR}/report.json", "w") as f:
     json.dump(report, f, indent=2)

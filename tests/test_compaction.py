@@ -116,6 +116,46 @@ class TestBucketedExactness:
         np.testing.assert_allclose(xt, xt0, atol=0)
 
 
+class TestAutoBuckets:
+    """VERDICT r4 #8: compaction defaults ON for spread-chord sources."""
+
+    def test_spread_source_autoselects(self):
+        rif, x, v, h = _spread_case()
+        span = (rif.shape[0] - 1) * h
+        assert compaction.auto_buckets(span, x, v, h / 2) == 4
+
+    def test_uniform_source_stays_off(self):
+        # parallel upward rays through the volume: uniform chords
+        n = 64
+        rng = np.random.default_rng(1)
+        span = 4.0
+        x = jnp.asarray(np.stack([rng.uniform(1, 3, n), np.full(n, -1e-3),
+                                  rng.uniform(1, 3, n)], axis=1))
+        v = jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (n, 1)))
+        assert compaction.auto_buckets(span, x, v, span / 16 / 2) == 0
+
+    def test_make_trace_probe_rays_default(self, monkeypatch):
+        """probe_rays turns bucketing on by default for spread sources, env
+        still overrides both ways, and outputs stay exact."""
+        rif, x, v, h = _spread_case()
+        span = (rif.shape[0] - 1) * h
+        ds = h / 2
+        monkeypatch.delenv("ANRT_BUCKETED", raising=False)
+        tr = __import__(
+            "adjointnonlinearraytracing_tpu.experiments.common",
+            fromlist=["common"]).make_trace(span, ds, probe_rays=(x, v))
+        xt, vt = tr(rif, x, v)
+        ref = tracer.trace(rif, x, v, h, ds)
+        np.testing.assert_allclose(xt, ref[0], atol=1e-12)
+        # env override forces OFF
+        monkeypatch.setenv("ANRT_BUCKETED", "0")
+        tr0 = __import__(
+            "adjointnonlinearraytracing_tpu.experiments.common",
+            fromlist=["common"]).make_trace(span, ds, probe_rays=(x, v))
+        xt0, _ = tr0(rif, x, v)
+        np.testing.assert_allclose(xt0, ref[0], atol=1e-12)
+
+
 class TestShardedBucketed:
     """Per-shard compaction inside shard_map (VERDICT r3 #5): outputs and
     gradients must equal both the unbucketed sharded path and the
